@@ -1,0 +1,36 @@
+"""Small shared utilities (behavior parity: reference ctransformers/utils.py)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+
+def is_gguf(path: str) -> bool:
+    """4-byte magic sniff (reference utils.py:6-10)."""
+    with open(path, "rb") as f:
+        return f.read(4) == b"GGUF"
+
+
+def utf8_split_incomplete(data: bytes) -> Tuple[bytes, bytes]:
+    """Split a byte string into (complete, incomplete) UTF-8 parts.
+
+    A trailing partial multi-byte sequence is held back so streaming text can
+    be decoded incrementally (reference utils.py:46-56).
+    """
+    n = len(data)
+    i = n
+    # walk back over up to 3 continuation bytes
+    while i > 0 and n - i < 4 and (data[i - 1] & 0xC0) == 0x80:
+        i -= 1
+    if i > 0:
+        lead = data[i - 1]
+        need = 0
+        if lead >= 0xF0:
+            need = 4
+        elif lead >= 0xE0:
+            need = 3
+        elif lead >= 0xC0:
+            need = 2
+        if need and n - (i - 1) < need:
+            return data[: i - 1], data[i - 1 :]
+    return data, b""
