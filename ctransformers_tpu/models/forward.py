@@ -1,0 +1,198 @@
+"""Config-driven transformer forward pass (pure JAX, jit-compatible).
+
+Replaces the reference's per-architecture GGML graph builders
+(models/llms/*.cc, llama.cpp llm_build_*) with one functional program over a
+parameter pytree. Shapes are static under jit: the KV cache is a fixed
+(n_ctx)-capacity buffer updated with dynamic_update_slice; `n_past` is a
+traced scalar; causal masking is positional, so prefill and decode share one
+compiled program per (batch, seq-bucket).
+
+Parameter pytree layout (weights pre-transposed to (in, out) so activations
+multiply as x @ W — output features land on TPU lanes):
+
+  wte      (V, D)            token embedding
+  wpe      (n_ctx, D)        learned positions (optional)
+  ln_f_g/b (D,)              final norm (optional bias)
+  lm_head  (D, V)            absent when spec.tied_lm_head
+  layers: list of dicts with keys among
+    ln1_g, ln1_b, ln2_g, ln2_b
+    wq (D, H*dh), wk (D, Hkv*dh), wv (D, Hkv*dh), bq, bk, bv
+    wo (H*dh, D), bo
+    w_up (D, F), b_up, w_down (F, D), b_down, w_gate (D, F)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.alibi import alibi_bias
+from ..ops.norm import layer_norm, rms_norm
+from ..ops.rope import apply_rope_interleaved, apply_rope_neox, rope_angles
+from .spec import ArchSpec
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def create(spec: ArchSpec, batch: int, dtype=jnp.float32) -> "KVCache":
+        shape = (spec.n_layer, batch, spec.n_ctx, spec.kv_heads, spec.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _norm(spec: ArchSpec, x, g, b):
+    if spec.norm == "rmsnorm":
+        return rms_norm(x, g, spec.norm_eps)
+    return layer_norm(x, g, b, spec.norm_eps)
+
+
+def _act(spec: ArchSpec, layer: Params, h):
+    if spec.act == "silu_gate":
+        gate = h @ layer["w_gate"]
+        up = h @ layer["w_up"]
+        return jax.nn.silu(gate) * up
+    up = h @ layer["w_up"]
+    if layer.get("b_up") is not None:
+        up = up + layer["b_up"]
+    return jax.nn.gelu(up, approximate=True)
+
+
+def _attention(
+    spec: ArchSpec,
+    layer: Params,
+    x: jnp.ndarray,  # (B, T, D) normed input
+    n_past: jnp.ndarray,  # scalar int32
+    k_cache: jnp.ndarray,  # (B, n_ctx, Hkv, dh)
+    v_cache: jnp.ndarray,
+    angles: Optional[jnp.ndarray],  # (T, dh//2) rope angles or None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, t, d = x.shape
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+
+    q = x @ layer["wq"]
+    k = x @ layer["wk"]
+    v = x @ layer["wv"]
+    if layer.get("bq") is not None:
+        q = q + layer["bq"]
+    if layer.get("bk") is not None:
+        k = k + layer["bk"]
+    if layer.get("bv") is not None:
+        v = v + layer["bv"]
+    if spec.clip_qkv > 0:
+        q = jnp.clip(q, -spec.clip_qkv, spec.clip_qkv)
+        k = jnp.clip(k, -spec.clip_qkv, spec.clip_qkv)
+        v = jnp.clip(v, -spec.clip_qkv, spec.clip_qkv)
+
+    q = q.reshape(b, t, h, dh)
+    k = k.reshape(b, t, hkv, dh)
+    v = v.reshape(b, t, hkv, dh)
+
+    if spec.rope_mode == "interleaved":
+        q = apply_rope_interleaved(q, angles)
+        k = apply_rope_interleaved(k, angles)
+    elif spec.rope_mode == "neox":
+        q = apply_rope_neox(q, angles, spec.n_rot)
+        k = apply_rope_neox(k, angles, spec.n_rot)
+
+    # append to cache at n_past
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, n_past, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0)
+    )
+
+    # scores over the full fixed-length cache, masked positionally
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    if hkv != h:
+        rep = h // hkv
+        kf = jnp.repeat(kf, rep, axis=2)
+        vf = jnp.repeat(vf, rep, axis=2)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    # (B, H, T, S)
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kf) * scale
+
+    if spec.alibi_bias_max > 0:
+        scores = scores + alibi_bias(h, spec.alibi_bias_max, spec.n_ctx)[None]
+
+    qpos = n_past + jnp.arange(t)[:, None]  # (T, 1)
+    kpos = jnp.arange(spec.n_ctx)[None, :]  # (1, S)
+    mask = kpos <= qpos  # causal over absolute positions
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs, vf)
+    ctx = ctx.reshape(b, t, h * dh)
+
+    out = ctx @ layer["wo"]
+    if layer.get("bo") is not None:
+        out = out + layer["bo"]
+    return out, k_cache, v_cache
+
+
+def forward(
+    spec: ArchSpec,
+    params: Params,
+    tokens: jnp.ndarray,  # (B, T) int32
+    n_past: jnp.ndarray,  # scalar int32
+    kv: KVCache,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Returns (last-token logits (B, V), last hidden state (B, D), new kv)."""
+    b, t = tokens.shape
+    x = params["wte"][tokens]  # (B, T, D)
+    if spec.learned_pos:
+        positions = n_past + jnp.arange(t)
+        x = x + params["wpe"][positions][None]
+
+    angles = None
+    if spec.rope_mode != "none":
+        positions = n_past + jnp.arange(t)
+        angles = rope_angles(
+            positions, spec.head_dim, spec.n_rot or spec.head_dim,
+            spec.rope_base, spec.rope_scale,
+        )
+
+    new_k, new_v = [], []
+    for il, layer in enumerate(params["layers"]):
+        ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+        attn_out, k_c, v_c = _attention(
+            spec, layer, ln1, n_past, kv.k[il], kv.v[il], angles
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+
+        if spec.parallel_residual:
+            # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
+            if spec.shared_parallel_ln or "ln2_g" not in layer:
+                mlp_in = ln1
+            else:
+                mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+            ff = _act(spec, layer, mlp_in) @ layer["w_down"]
+            if layer.get("b_down") is not None:
+                ff = ff + layer["b_down"]
+            x = x + attn_out + ff
+        else:
+            x = x + attn_out
+            ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+            ff = _act(spec, layer, ln2) @ layer["w_down"]
+            if layer.get("b_down") is not None:
+                ff = ff + layer["b_down"]
+            x = x + ff
+
+    if spec.final_norm:
+        x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
+
+    last = x[:, -1, :]  # (B, D)
+    head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+    logits = last @ head  # (B, V)
+    return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))

@@ -1,8 +1,10 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
-# exercised without TPU hardware (SURVEY.md §4). Must be set before JAX import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware (SURVEY.md §4). Must be set before JAX
+# import. The environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
+# override it — tests need determinism and 8 devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
