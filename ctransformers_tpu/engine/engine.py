@@ -105,8 +105,10 @@ class Engine:
                 self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
             )
             pos += size
-        self.logits = np.asarray(logits[0], np.float32)
-        self.hidden = np.asarray(hidden[0], np.float32)
+        # writable host copies: the public API exposes logits as a mutable
+        # view whose edits must affect sampling (reference tests/test_model.py)
+        self.logits = np.array(logits[0], np.float32)
+        self.hidden = np.array(hidden[0], np.float32)
         self.n_past = n_past + len(tokens)
 
     def reset(self) -> None:

@@ -1,0 +1,131 @@
+"""Token samplers.
+
+`sample_gpt` clones the shared example-model sampler
+(gpt_sample_top_k_top_p, reference models/common.h:127-207): temperature
+scaling, then sign-dependent repetition penalty on the scaled logits, top-k,
+softmax, top-p truncation + renormalize, categorical draw.
+
+`sample_llama` clones the llama.cpp chain used by the GGUF path
+(reference models/llms/llama.cc:53-84): repetition penalty on raw logits,
+top-k, top-p, temperature, draw.
+
+Sampling runs on the host in numpy: it is O(vocab) per token and exact
+reference semantics matter more than device placement. RNG is MT19937
+(np.random.RandomState) — deterministic for a given seed, like the
+reference's std::mt19937, though the draw itself is not bit-identical to
+libstdc++'s std::discrete_distribution.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _resolve_seed(seed: int) -> int:
+    if seed < 0:
+        seed = int(time.time())  # reference: time(nullptr) (llm.h:67-69)
+    return seed & 0xFFFFFFFF
+
+
+def _draw(probs: np.ndarray, rng: np.random.RandomState) -> int:
+    cdf = np.cumsum(probs)
+    u = rng.random_sample() * cdf[-1]
+    return int(np.searchsorted(cdf, u, side="right").clip(0, len(probs) - 1))
+
+
+def sample_gpt(
+    logits: np.ndarray,
+    *,
+    top_k: int,
+    top_p: float,
+    temperature: float,
+    repetition_penalty: float,
+    last_tokens: Sequence[int],
+    seed: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> int:
+    """gpt_sample_top_k_top_p semantics (common.h:127-207)."""
+    if rng is None:
+        rng = np.random.RandomState(_resolve_seed(seed))
+    n = logits.shape[0]
+    scale = 1.0 / temperature if temperature != 0 else np.inf
+    scaled = logits.astype(np.float64) * scale
+
+    for tok in set(int(t) for t in last_tokens):
+        if 0 <= tok < n:
+            if scaled[tok] <= 0:
+                scaled[tok] *= repetition_penalty
+            else:
+                scaled[tok] /= repetition_penalty
+
+    top_k = max(1, min(int(top_k) if top_k > 0 else n, n))
+    idx = np.argpartition(-scaled, top_k - 1)[:top_k]
+    idx = idx[np.argsort(-scaled[idx], kind="stable")]
+    vals = scaled[idx]
+
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+
+    if top_p < 1.0:
+        cum = np.cumsum(probs)
+        cut = int(np.searchsorted(cum, top_p, side="left")) + 1
+        cut = min(cut, len(probs))
+        probs = probs[:cut] / cum[cut - 1]
+        idx = idx[:cut]
+
+    return int(idx[_draw(probs, rng)])
+
+
+def sample_llama(
+    logits: np.ndarray,
+    *,
+    top_k: int,
+    top_p: float,
+    temperature: float,
+    repetition_penalty: float,
+    last_tokens: Sequence[int],
+    seed: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> int:
+    """llama.cpp chain: repetition -> top_k -> top_p -> temperature -> draw
+    (reference models/llms/llama.cc:53-84, llama.cpp:3805-4332)."""
+    if rng is None:
+        rng = np.random.RandomState(_resolve_seed(seed))
+    n = logits.shape[0]
+    l = logits.astype(np.float64).copy()
+
+    # llama_sample_repetition_penalty (llama.cpp:4025)
+    for tok in set(int(t) for t in last_tokens):
+        if 0 <= tok < n:
+            if l[tok] <= 0:
+                l[tok] *= repetition_penalty
+            else:
+                l[tok] /= repetition_penalty
+
+    if temperature <= 0:
+        return int(np.argmax(l))  # greedy path
+
+    top_k = min(int(top_k) if top_k > 0 else n, n)
+    idx = np.argpartition(-l, top_k - 1)[:top_k] if top_k < n else np.arange(n)
+    idx = idx[np.argsort(-l[idx], kind="stable")]
+    vals = l[idx]
+
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+
+    if top_p < 1.0 and len(probs) > 1:
+        cum = np.cumsum(probs)
+        # llama_sample_top_p keeps at least 1 candidate, cuts when cum >= p
+        cut = int(np.searchsorted(cum, top_p, side="left")) + 1
+        cut = min(cut, len(probs))
+        probs = probs[:cut]
+        idx = idx[:cut]
+
+    # temperature applied to remaining logits, then softmax + draw
+    vals = vals[: len(idx)] / temperature
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+    return int(idx[_draw(probs, rng)])

@@ -1,0 +1,548 @@
+"""Public generation API.
+
+API and behavior parity with the reference `ctransformers.llm`
+(/root/reference/ctransformers/llm.py): the `LLM` class exposes the same
+constructor, properties, and methods with identical streaming/stop-sequence
+semantics. The FFI layer is gone — the engine underneath is jitted JAX on
+TPU instead of a ctypes-bound C++ library.
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+import warnings
+from collections import OrderedDict
+from dataclasses import dataclass
+from pathlib import Path
+from typing import (
+    Any,
+    Generator,
+    List,
+    Optional,
+    Sequence,
+    Union,
+)
+
+import numpy as np
+
+from .engine.engine import Engine
+from .engine import sampler as samplers
+from .logger import logger
+from .models.registry import load_model
+from .utils import utf8_split_incomplete
+
+
+@dataclass
+class Config:
+    """All knobs, defaults identical to the reference (llm.py:38-70)."""
+
+    # sample
+    top_k: int = 40
+    top_p: float = 0.95
+    temperature: float = 0.8
+    repetition_penalty: float = 1.1
+    last_n_tokens: int = 64
+    seed: int = -1
+
+    # eval
+    batch_size: int = 8
+    threads: int = -1
+
+    # generate
+    max_new_tokens: int = 256
+    stop: Optional[Sequence[str]] = None
+    stream: bool = False
+    reset: bool = True
+
+    # model
+    context_length: int = -1
+    gpu_layers: int = 0
+    mmap: bool = True
+    mlock: bool = False
+
+
+docs = OrderedDict(
+    top_k="The top-k value to use for sampling.",
+    top_p="The top-p value to use for sampling.",
+    temperature="The temperature to use for sampling.",
+    repetition_penalty="The repetition penalty to use for sampling.",
+    last_n_tokens="The number of last tokens to use for repetition penalty.",
+    seed="The seed value to use for sampling tokens.",
+    max_new_tokens="The maximum number of new tokens to generate.",
+    stop="A list of sequences to stop generation when encountered.",
+    stream="Whether to stream the generated text.",
+    reset="Whether to reset the model state before generating text.",
+    batch_size="The batch size to use for evaluating tokens in a single prompt.",
+    threads="The number of threads to use for evaluating tokens.",
+    context_length="The maximum context length to use.",
+    gpu_layers="The number of layers to run on GPU.",
+)
+
+
+def doc(fn):
+    out = []
+    for param in inspect.signature(fn).parameters:
+        if param in docs:
+            default = getattr(Config, param)
+            out.append(f"{param}: {docs[param]} Default: `{default}`")
+    joined = ("\n" + " " * 12).join(out)
+    fn.__doc__ = fn.__doc__.format(params=joined)
+    return fn
+
+
+def get(*values):
+    for value in values:
+        if value is not None:
+            return value
+
+
+class LLM:
+    def __init__(
+        self,
+        model_path: str,
+        model_type: Optional[str] = None,
+        *,
+        config: Optional[Config] = None,
+        lib: Optional[str] = None,
+    ):
+        """Loads the language model from a local file.
+
+        Args:
+            model_path: The path to a model file.
+            model_type: The model type.
+            config: `Config` object.
+            lib: Ignored (kept for API compatibility with the reference).
+        """
+        from .utils import is_gguf
+
+        config = config or Config()
+        self._model_path = model_path
+        self._config = config
+        self._context: List[int] = []
+
+        if not Path(model_path).is_file():
+            raise ValueError(f"Model path '{model_path}' doesn't exist.")
+
+        if not model_type:
+            if not is_gguf(model_path):
+                raise ValueError(
+                    "Unable to detect model type. Please specify a model type using:\n\n"
+                    "  AutoModelForCausalLM.from_pretrained(..., model_type='...')\n\n"
+                )
+            model_type = "gguf"
+
+        self._bundle = load_model(
+            model_path, model_type, context_length=config.context_length
+        )
+        # GGUF reports its own architecture (reference llm.py:256-258)
+        if self._bundle.architecture:
+            model_type = self._bundle.architecture
+        self._model_type = model_type
+        self._engine = Engine(self._bundle.spec, self._bundle.params)
+        self._sample_fn = (
+            samplers.sample_llama
+            if self._bundle.sampler == "llama"
+            else samplers.sample_gpt
+        )
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def model_path(self) -> str:
+        """The path to the model file."""
+        return self._model_path
+
+    @property
+    def model_type(self) -> str:
+        """The model type."""
+        return self._model_type
+
+    @property
+    def config(self) -> Config:
+        """The config object."""
+        return self._config
+
+    @property
+    def eos_token_id(self) -> int:
+        """The end-of-sequence token."""
+        return self._bundle.vocab.eos_token_id()
+
+    @property
+    def bos_token_id(self) -> int:
+        """The beginning-of-sequence token."""
+        return self._bundle.vocab.bos_token_id()
+
+    @property
+    def pad_token_id(self) -> int:
+        """The padding token."""
+        return self.eos_token_id
+
+    @property
+    def vocab_size(self) -> int:
+        """The number of tokens in vocabulary."""
+        return len(self._bundle.vocab)
+
+    @property
+    def context_length(self) -> int:
+        """The context length of model."""
+        return self._bundle.spec.n_ctx
+
+    @property
+    def logits(self) -> np.ndarray:
+        """The unnormalized log probabilities (mutable view)."""
+        if self._engine.logits is None:
+            return np.zeros(0, np.float32)
+        return self._engine.logits
+
+    @property
+    def embeddings(self) -> List[float]:
+        """The input embeddings."""
+        if not self._bundle.supports_embeddings or self._engine.hidden is None:
+            return []
+        return list(np.asarray(self._engine.hidden, np.float32))
+
+    # -- core methods ---------------------------------------------------------
+
+    def tokenize(self, text: str, add_bos_token: Optional[bool] = None) -> List[int]:
+        """Converts a text into list of tokens.
+
+        Args:
+            text: The text to tokenize.
+            add_bos_token: Whether to add the beginning-of-sequence token.
+
+        Returns:
+            The list of tokens.
+        """
+        if add_bos_token is None:
+            add_bos_token = self.model_type == "llama"
+        return self._bundle.tokenizer.tokenize(text, add_bos_token)
+
+    def detokenize(
+        self, tokens: Sequence[int], decode: bool = True
+    ) -> Union[str, bytes]:
+        """Converts a list of tokens to text.
+
+        Args:
+            tokens: The list of tokens.
+            decode: Whether to decode the text as UTF-8 string.
+
+        Returns:
+            The combined text of all tokens.
+        """
+        if isinstance(tokens, int):
+            tokens = [tokens]
+        texts = b"".join(self._bundle.tokenizer.detokenize(t) for t in tokens)
+        if decode:
+            text = texts.decode(errors="ignore")
+            # leading space after BOS is stripped (reference llm.py:362-364)
+            if list(tokens[:1]) == [self.bos_token_id] and text[:1] == " ":
+                text = text[1:]
+            return text
+        return texts
+
+    def is_eos_token(self, token: int) -> bool:
+        """Checks if a token is an end-of-sequence token.
+
+        Args:
+            token: The token to check.
+
+        Returns:
+            `True` if the token is an end-of-sequence token else `False`.
+        """
+        return self._bundle.vocab.is_eos_token(token)
+
+    @doc
+    def eval(
+        self,
+        tokens: Sequence[int],
+        *,
+        batch_size: Optional[int] = None,
+        threads: Optional[int] = None,
+    ) -> None:
+        """Evaluates a list of tokens.
+
+        Args:
+            tokens: The list of tokens to evaluate.
+            {params}
+        """
+        del batch_size, threads  # XLA owns scheduling; kept for API parity
+        n_past = len(self._context)
+        n_tokens = len(tokens)
+        if n_past + n_tokens > self.context_length:
+            logger.warning(
+                f"Number of tokens ({n_past + n_tokens}) exceeded maximum context length ({self.context_length})."
+            )
+        self._engine.eval(tokens, n_past=n_past)
+        self._context.extend(int(t) for t in tokens)
+
+    @doc
+    def sample(
+        self,
+        *,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        last_n_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> int:
+        """Samples a token from the model.
+
+        Args:
+            {params}
+
+        Returns:
+            The sampled token.
+        """
+        config = self.config
+        top_k = get(top_k, config.top_k)
+        top_p = get(top_p, config.top_p)
+        temperature = get(temperature, config.temperature)
+        repetition_penalty = get(repetition_penalty, config.repetition_penalty)
+        last_n_tokens = get(last_n_tokens, config.last_n_tokens)
+        seed = get(seed, config.seed)
+
+        if last_n_tokens < 0:
+            last_n_tokens = self.context_length
+        last_tokens = self._context[-last_n_tokens:]
+
+        if self._engine.logits is None:
+            return self.eos_token_id
+        return self._sample_fn(
+            self._engine.logits,
+            top_k=top_k,
+            top_p=top_p,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
+            last_tokens=last_tokens,
+            seed=seed,
+        )
+
+    def reset(self) -> None:
+        """Deprecated since 0.2.27."""
+        warnings.warn(
+            "`LLM.reset()` method is deprecated since 0.2.27. Please use high-level API."
+        )
+        self._context.clear()
+        self._engine.reset()
+
+    @doc
+    def prepare_inputs_for_generation(
+        self,
+        tokens: Sequence[int],
+        *,
+        reset: Optional[bool] = None,
+    ) -> Sequence[int]:
+        """Removes input tokens that are evaluated in the past and updates the LLM context.
+
+        Args:
+            tokens: The list of input tokens.
+            {params}
+
+        Returns:
+            The list of tokens to evaluate.
+        """
+        config = self.config
+        reset = get(reset, config.reset)
+
+        if not reset:
+            return tokens
+
+        # Keep at least one input token to evaluate the logits.
+        n = min(len(tokens) - 1, len(self._context))
+        l = 0
+        while l < n and tokens[l] == self._context[l]:
+            l += 1
+        tokens = tokens[l:]
+        self._context = self._context[:l]
+        self._engine.rewind(l)
+        return tokens
+
+    @doc
+    def generate(
+        self,
+        tokens: Sequence[int],
+        *,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        last_n_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        threads: Optional[int] = None,
+        reset: Optional[bool] = None,
+    ) -> Generator[int, None, None]:
+        """Generates new tokens from a list of tokens.
+
+        Args:
+            tokens: The list of tokens to generate tokens from.
+            {params}
+
+        Returns:
+            The generated tokens.
+        """
+        tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
+        self.eval(tokens, batch_size=batch_size, threads=threads)
+        while True:
+            token = self.sample(
+                top_k=top_k,
+                top_p=top_p,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                last_n_tokens=last_n_tokens,
+                seed=seed,
+            )
+            self.eval([token], batch_size=batch_size, threads=threads)
+            if self.is_eos_token(token):
+                break
+            yield token
+
+    def _stream(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        last_n_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        threads: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        reset: Optional[bool] = None,
+    ) -> Generator[str, None, None]:
+        config = self.config
+        max_new_tokens = get(max_new_tokens, config.max_new_tokens)
+        stop = get(stop, config.stop) or []
+        if isinstance(stop, str):
+            stop = [stop]
+
+        tokens = self.tokenize(prompt)
+
+        stop_regex = re.compile("|".join(map(re.escape, stop)))
+        count = 0
+        text = ""
+        incomplete = b""
+        for token in self.generate(
+            tokens,
+            top_k=top_k,
+            top_p=top_p,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
+            last_n_tokens=last_n_tokens,
+            seed=seed,
+            batch_size=batch_size,
+            threads=threads,
+            reset=reset,
+        ):
+            # Handle incomplete UTF-8 multi-byte characters.
+            incomplete += self.detokenize([token], decode=False)
+            complete, incomplete = utf8_split_incomplete(incomplete)
+            text += complete.decode(errors="ignore")
+
+            # Check if one of the stop sequences is part of the text.
+            # Note that the stop sequence may not always be at the end of text.
+            if stop:
+                match = stop_regex.search(text)
+                if match:
+                    text = text[: match.start()]
+                    break
+
+            # Avoid sending the longest suffix of text which is also a prefix
+            # of a stop sequence, as it can form a stop sequence with the text
+            # generated later.
+            longest = 0
+            for s in stop:
+                for i in range(len(s), 0, -1):
+                    if text.endswith(s[:i]):
+                        longest = max(i, longest)
+                        break
+
+            end = len(text) - longest
+            if end > 0:
+                yield text[:end]
+                text = text[end:]
+
+            count += 1
+            if count >= max_new_tokens:
+                break
+
+        if text:
+            yield text
+
+    @doc
+    def __call__(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        last_n_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        threads: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        stream: Optional[bool] = None,
+        reset: Optional[bool] = None,
+    ) -> Union[str, Generator[str, None, None]]:
+        """Generates text from a prompt.
+
+        Args:
+            prompt: The prompt to generate text from.
+            {params}
+
+        Returns:
+            The generated text.
+        """
+        config = self.config
+        stream = get(stream, config.stream)
+
+        text = self._stream(
+            prompt,
+            max_new_tokens=max_new_tokens,
+            top_k=top_k,
+            top_p=top_p,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
+            last_n_tokens=last_n_tokens,
+            seed=seed,
+            batch_size=batch_size,
+            threads=threads,
+            stop=stop,
+            reset=reset,
+        )
+        if stream:
+            return text
+        return "".join(text)
+
+    @doc
+    def embed(
+        self,
+        input: Union[str, Sequence[int]],
+        *,
+        batch_size: Optional[int] = None,
+        threads: Optional[int] = None,
+    ) -> List[float]:
+        """Computes embeddings for a text or list of tokens.
+
+        > **Note:** Currently only LLaMA and Falcon models support embeddings.
+
+        Args:
+            input: The input text or list of tokens to get embeddings for.
+            {params}
+
+        Returns:
+            The input embeddings.
+        """
+        if isinstance(input, str):
+            input = self.tokenize(input)
+        input = self.prepare_inputs_for_generation(input, reset=True)
+        self.eval(input, batch_size=batch_size, threads=threads)
+        return list(self.embeddings)

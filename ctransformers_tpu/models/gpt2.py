@@ -84,3 +84,11 @@ def load(path: str, context_length: int = -1) -> Tuple[ArchSpec, dict, Vocab]:
 
     vocab = Vocab(tokens)
     return spec, params, vocab
+
+
+def load_bundle(path: str, context_length: int = -1):
+    from ..tokenizers.greedy import GreedyTokenizer
+    from .registry import ModelBundle
+
+    spec, params, vocab = load(path, context_length)
+    return ModelBundle(spec, params, vocab, GreedyTokenizer(vocab))

@@ -1,0 +1,159 @@
+"""End-to-end public-API tests on a synthetic GPT-2 model.
+
+Mirrors the reference integration test (tests/test_model.py): deterministic
+seeded generation, logits mutability affecting sampling, metadata
+properties — plus greedy-generation token parity against the reference
+engine binary.
+"""
+
+import numpy as np
+import pytest
+
+from ctransformers_tpu import AutoModelForCausalLM, Config, LLM
+
+from .fixtures import FTYPE_Q8_0, build_gpt2, ref_llm
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny-gpt2.bin")
+    build_gpt2(path, ftype=FTYPE_Q8_0, seed=11)
+    return path
+
+
+@pytest.fixture(scope="module")
+def llm(model_path):
+    return AutoModelForCausalLM.from_pretrained(model_path, model_type="gpt2")
+
+
+def test_metadata(llm):
+    assert llm.model_type == "gpt2"
+    assert llm.vocab_size == 96
+    assert llm.context_length == 64
+    assert llm.eos_token_id == 0
+    assert llm.bos_token_id == 0
+    assert llm.pad_token_id == 0
+
+
+def test_tokenize_round_trip(llm):
+    tokens = llm.tokenize(" hello world")
+    assert tokens
+    assert llm.detokenize(tokens) == " hello world"
+
+
+def test_deterministic_generation(llm):
+    a = llm("the cat", seed=5, max_new_tokens=5)
+    b = llm("the cat", seed=5, max_new_tokens=5)
+    assert a == b
+    c = llm("the cat", seed=6, max_new_tokens=5)
+    assert isinstance(c, str)
+
+
+def test_streaming_matches_nonstreaming(llm):
+    text = llm("the cat", seed=7, max_new_tokens=6)
+    chunks = list(llm("the cat", seed=7, max_new_tokens=6, stream=True))
+    assert "".join(chunks) == text
+
+
+def test_logits_mutation_affects_sampling(llm):
+    """Zero-copy logits semantics from the reference integration test."""
+    llm.eval(llm.tokenize("the cat"))
+    logits = llm.logits
+    assert len(logits) == llm.vocab_size
+    logits[:] = 0.0
+    logits[42] = 100.0
+    assert llm.sample(top_k=1, temperature=0.1) == 42
+
+
+def test_prefix_reuse(llm):
+    """prepare_inputs_for_generation drops the evaluated common prefix."""
+    warm = llm.tokenize("the cat is big")
+    llm.eval(llm.prepare_inputs_for_generation(warm))
+    again = llm.prepare_inputs_for_generation(warm)
+    assert len(again) == 1  # keeps one token to refresh logits
+    longer = llm.prepare_inputs_for_generation(warm + [7, 8])
+    assert len(longer) == 3  # one overlap token + the two new ones
+
+
+def test_generate_eval_sample_loop(llm):
+    tokens = llm.tokenize("the cat")
+    gen = llm.generate(tokens, seed=1)
+    out = [next(gen) for _ in range(3)]
+    assert all(0 <= t < llm.vocab_size for t in out)
+
+
+def test_reset_deprecated(llm):
+    with pytest.warns(UserWarning, match="deprecated"):
+        llm.reset()
+
+
+def test_context_overflow_warning(model_path, caplog):
+    import logging
+
+    llm = LLM(model_path, model_type="gpt2", config=Config(context_length=8))
+    assert llm.context_length == 8
+    with caplog.at_level(logging.WARNING, logger="ctransformers_tpu"):
+        llm.eval(list(range(12)))
+    assert any("exceeded maximum context length" in r.message for r in caplog.records)
+
+
+def test_greedy_token_parity_with_reference(model_path):
+    """top_k=1 removes sampler randomness: both engines must emit the same
+    token sequence from the same prompt."""
+    ref = ref_llm(model_path, "gpt2")
+    if ref is None:
+        pytest.skip("reference engine unavailable")
+    mine = LLM(model_path, model_type="gpt2")
+    prompt_ref = ref.tokenize("the cat is")
+    prompt_mine = mine.tokenize("the cat is")
+    assert prompt_ref == prompt_mine
+
+    def greedy(llm, prompt, n):
+        out = []
+        gen = llm.generate(list(prompt), top_k=1, temperature=0.7, seed=1)
+        for t in gen:
+            out.append(t)
+            if len(out) >= n:
+                break
+        return out
+
+    assert greedy(mine, prompt_mine, 8) == greedy(ref, prompt_ref, 8)
+
+
+def test_auto_model_from_dir(tmp_path):
+    import json
+
+    d = tmp_path / "repo"
+    d.mkdir()
+    build_gpt2(str(d / "model.bin"), seed=2)
+    (d / "config.json").write_text(
+        json.dumps(
+            {
+                "model_type": "gpt2",
+                "task_specific_params": {
+                    "text-generation": {"temperature": 0.33, "top_k": 7}
+                },
+            }
+        )
+    )
+    llm = AutoModelForCausalLM.from_pretrained(str(d))
+    assert llm.model_type == "gpt2"
+    assert llm.config.temperature == 0.33
+    assert llm.config.top_k == 7
+    # kwargs override config.json and invalid kwargs raise
+    llm2 = AutoModelForCausalLM.from_pretrained(str(d), temperature=0.9)
+    assert llm2.config.temperature == 0.9
+    with pytest.raises(TypeError, match="invalid keyword"):
+        AutoModelForCausalLM.from_pretrained(str(d), bogus_param=1)
+
+
+def test_missing_model_type(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(ValueError, match="Unable to detect model type"):
+        LLM(str(p))
+
+
+def test_missing_file():
+    with pytest.raises(ValueError, match="doesn't exist"):
+        LLM("/nonexistent/model.bin", model_type="gpt2")
