@@ -1,0 +1,101 @@
+"""Synthetic model builders (random weights for benchmarks/dryruns/tests).
+
+The reference has no equivalent — it always loads real files — but the TPU
+framework needs spec-true random models to exercise jit/sharding/bench paths
+without multi-GB downloads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import ArchSpec
+
+LLAMA_7B = ArchSpec(
+    name="llama",
+    n_vocab=32000,
+    n_ctx=2048,
+    n_embd=4096,
+    n_head=32,
+    n_layer=32,
+    n_ff=11008,
+    rope_mode="neox",
+    n_rot=128,
+    norm="rmsnorm",
+    norm_eps=1e-6,
+    act="silu_gate",
+)
+
+LLAMA_TINY = LLAMA_7B.replace(
+    n_vocab=256,
+    n_ctx=64,
+    n_embd=64,
+    n_head=4,
+    n_head_kv=2,
+    n_layer=2,
+    n_ff=128,
+    n_rot=16,
+)
+
+
+def random_params(
+    spec: ArchSpec,
+    seed: int = 0,
+    dtype=jnp.float32,
+    scale: float = 0.02,
+    quantize: Optional[str] = None,
+):
+    """Random parameter pytree matching models/forward.py's layout.
+
+    quantize: None for dense weights, or a GGML type name ("q8_0", "q4_k",
+    ...) to store every matmul weight as a repacked QTensor (the layout the
+    Pallas dequant-matmul kernels consume).
+    """
+    rng = np.random.RandomState(seed)
+    d, f = spec.n_embd, spec.ff_dim
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+
+    def w(*shape):
+        x = (rng.rand(*shape).astype(np.float32) - 0.5) * 2 * scale
+        return jnp.asarray(x, dtype)
+
+    def mat(*shape):
+        x = w(*shape)
+        if quantize is not None:
+            from ..ops.qmatmul import quantize_qtensor
+
+            return quantize_qtensor(np.asarray(x, np.float32), quantize)
+        return x
+
+    params = {
+        "wte": w(spec.n_vocab, d),
+        "ln_f_g": jnp.ones(d, dtype),
+        "lm_head": mat(d, spec.n_vocab),
+        "layers": [],
+    }
+    if spec.learned_pos:
+        params["wpe"] = w(spec.n_ctx, d)
+    if spec.norm == "layernorm":
+        params["ln_f_b"] = jnp.zeros(d, dtype)
+    for _ in range(spec.n_layer):
+        layer = {
+            "ln1_g": jnp.ones(d, dtype),
+            "wq": mat(d, h * dh),
+            "wk": mat(d, hkv * dh),
+            "wv": mat(d, hkv * dh),
+            "wo": mat(h * dh, d),
+            "ln2_g": jnp.ones(d, dtype),
+            "w_up": mat(d, f),
+            "w_down": mat(f, d),
+        }
+        if spec.act == "silu_gate":
+            layer["w_gate"] = mat(d, f)
+        if spec.norm == "layernorm":
+            layer["ln1_b"] = jnp.zeros(d, dtype)
+            layer["ln2_b"] = jnp.zeros(d, dtype)
+        params["layers"].append(layer)
+    return params

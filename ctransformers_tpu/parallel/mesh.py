@@ -1,0 +1,117 @@
+"""Device mesh + sharding rules (tensor/data parallelism over ICI).
+
+TPU-native replacement for the reference's multi-GPU row-split tensor
+parallelism (ggml-cuda.cu:5067-5121, g_tensor_split VRAM-proportional row
+partition, up to 16 devices). Instead of manually splitting rows and syncing
+with CUDA events, weights and the KV cache are annotated with
+`jax.sharding.NamedSharding` over a ("data", "model") mesh and XLA inserts
+the collectives (all-gather / reduce-scatter riding ICI).
+
+Sharding layout (1D tensor parallel over "model", batch over "data"):
+
+  wq/wk/wv, w_up, w_gate, their biases   -> columns (output features) sharded
+  wo, w_down                             -> rows (input features) sharded;
+                                            XLA emits a psum after the matmul
+  wte, wpe, norms                        -> replicated
+  lm_head                                -> vocab dim sharded
+  KV cache (L, B, n_ctx, Hkv, dh)        -> B on "data", Hkv on "model"
+
+This mirrors the Megatron column/row-parallel pairing: attention and MLP each
+need exactly one all-reduce per block, which XLA emits automatically from the
+shardings — no NCCL-style code exists in this framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.spec import ArchSpec
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ("data", "model") mesh over the available devices.
+
+    `data` fixes the data-parallel degree; the model axis gets the rest.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % data != 0:
+        raise ValueError(f"{n} devices not divisible by data={data}")
+    arr = np.asarray(devices).reshape(data, n // data)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# -- sharding rules -----------------------------------------------------------
+
+# weight name -> PartitionSpec for the (in, out) weight layout of
+# models/forward.py. Names not listed are replicated.
+_COL_SHARDED = {"wq", "wk", "wv", "w_up", "w_gate"}  # shard output features
+_ROW_SHARDED = {"wo", "w_down"}  # shard input features
+_COL_BIAS = {"bq", "bk", "bv", "b_up"}
+
+
+def param_pspec(path: Tuple, leaf) -> P:
+    """PartitionSpec for one leaf of the params pytree (by its dict key)."""
+    key = None
+    for p in reversed(path):
+        if hasattr(p, "key"):
+            key = p.key
+            break
+    ndim = getattr(leaf, "ndim", np.ndim(leaf))
+    if key in _COL_SHARDED and ndim == 2:
+        return P(None, MODEL_AXIS)
+    if key in _ROW_SHARDED and ndim == 2:
+        return P(MODEL_AXIS, None)
+    if key in _COL_BIAS and ndim == 1:
+        return P(MODEL_AXIS)
+    if key == "lm_head" and ndim == 2:
+        return P(None, MODEL_AXIS)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Move a params pytree onto the mesh with TP shardings applied."""
+
+    def place(path, leaf):
+        spec = param_pspec(path, leaf)
+        # don't shard axes that do not divide evenly (e.g. MQA single kv head)
+        shape = np.shape(leaf)
+        axis_ok = True
+        for dim, name in zip(shape, spec):
+            if name is not None and dim % mesh.shape[name] != 0:
+                axis_ok = False
+        if not axis_ok:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def kv_pspec(spec: ArchSpec, mesh: Mesh) -> P:
+    """KV cache (L, B, n_ctx, Hkv, dh): batch on data, kv heads on model."""
+    if spec.kv_heads % mesh.shape[MODEL_AXIS] == 0:
+        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return P(None, DATA_AXIS, None, None, None)
+
+
+def shard_kv(kv, spec: ArchSpec, mesh: Mesh):
+    ns = NamedSharding(mesh, kv_pspec(spec, mesh))
+    return jax.tree.map(lambda a: jax.device_put(a, ns), kv)
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, None))

@@ -1,12 +1,15 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
-# exercised without TPU hardware (SURVEY.md §4). Must be set before JAX
-# import. The environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
-# override it — tests need determinism and 8 devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# exercised without TPU hardware (SURVEY.md §4). The environment pins
+# JAX_PLATFORMS=axon (the real TPU tunnel) and a sitecustomize pre-imports
+# jax, so plain env-var edits are too late — use jax.config instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,59 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctransformers_tpu.models.forward import KVCache, forward
+from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+from ctransformers_tpu.parallel import mesh as pmesh
+
+
+def test_mesh_shape():
+    mesh = pmesh.make_mesh(8, data=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_forward_matches_single_device():
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=3)
+    kv = KVCache.create(spec, batch=1)
+    tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6) % spec.n_vocab
+
+    logits_ref, _, kv_ref = jax.jit(
+        lambda p, t, n, c: forward(spec, p, t, n, c)
+    )(params, tokens, jnp.int32(0), kv)
+
+    mesh = pmesh.make_mesh(8, data=1)
+    sp = pmesh.shard_params(params, mesh)
+    skv = pmesh.shard_kv(KVCache.create(spec, batch=1), spec, mesh)
+    logits_tp, _, kv_tp = jax.jit(
+        lambda p, t, n, c: forward(spec, p, t, n, c)
+    )(sp, tokens, jnp.int32(0), skv)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_ref), np.asarray(logits_tp), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_ref.k), np.asarray(kv_tp.k), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_graft_dryrun(n):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
