@@ -30,6 +30,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 from ..models.forward import KVCache, forward
 from ..models.spec import ArchSpec
+from ..ops import qmatmul as qm
 
 
 class Engine:
@@ -42,12 +43,19 @@ class Engine:
         param_dtype=jnp.float32,
     ):
         self.spec = spec
+
+        def place(a):
+            if isinstance(a, qm.QTensor):
+                return jax.tree.map(jnp.asarray, a)
+            if np.issubdtype(np.asarray(a).dtype, np.floating):
+                return jnp.asarray(a, param_dtype)
+            return jnp.asarray(a)
+
         self.params = jax.tree.map(
-            lambda a: jnp.asarray(a, param_dtype)
-            if np.issubdtype(np.asarray(a).dtype, np.floating)
-            else jnp.asarray(a),
-            params,
+            place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
+        # pick Pallas tile sizes for the decode batch eagerly (jit can't time)
+        qm.autotune(self.params, batch_sizes=(batch_size,))
         self.batch = batch_size
         self.kv_dtype = kv_dtype
         self.kv = KVCache.create(spec, batch_size, kv_dtype)

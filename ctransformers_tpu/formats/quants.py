@@ -841,3 +841,165 @@ FTYPE_TO_TYPE = {
     13: GGMLType.Q5_K,
     14: GGMLType.Q6_K,
 }
+
+
+# ---------------------------------------------------------------------------
+# Structured decomposition ("decompose"): every quantized type reduces to
+#     x[i] = q[i] * s[i // group] + m[i // group]
+# with q an int8 grid and s/m float32 planes at the format's native scale
+# granularity (group = 16 or 32). This is the universal TPU repack: the
+# Pallas fused dequant-matmul kernels consume (q, s, m) directly, so one
+# kernel family serves all 12 GGML formats. Bit-exact with dequantize()
+# (the same float ops in the same order).
+# ---------------------------------------------------------------------------
+
+
+def _g(per_elem: np.ndarray, group: int) -> np.ndarray:
+    """Sample per-element constants down to one value per `group` run."""
+    nb = per_elem.shape[0]
+    return np.ascontiguousarray(
+        per_elem.reshape(nb, -1, group)[:, :, 0], np.float32
+    )
+
+
+def _dc_q4_0(b):
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:18]
+    lo = (qs & 0xF).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    return np.concatenate([lo, hi], axis=1), d, None, QK
+
+
+def _dc_q4_1(b):
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    qs = b[:, 4:20]
+    lo = (qs & 0xF).astype(np.int8)
+    hi = (qs >> 4).astype(np.int8)
+    return np.concatenate([lo, hi], axis=1), d, m, QK
+
+
+def _dc_q5_0(b):
+    d = _f16(b[:, 0:2])
+    xh = _q5_highbits(b[:, 2:6])
+    qs = b[:, 6:22]
+    lo = (qs & 0xF).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    q = (np.concatenate([lo, hi], axis=1) | xh) - 16
+    return q.astype(np.int8), d, None, QK
+
+
+def _dc_q5_1(b):
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    xh = _q5_highbits(b[:, 4:8])
+    qs = b[:, 8:24]
+    lo = (qs & 0xF).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    q = np.concatenate([lo, hi], axis=1) | xh
+    return q.astype(np.int8), d, m, QK
+
+
+def _dc_q8_0(b):
+    return b[:, 2:34].view(np.int8).copy(), _f16(b[:, 0:2]), None, QK
+
+
+def _dc_q8_1(b):
+    return b[:, 8:40].view(np.int8).copy(), b[:, 0:4].view("<f4").copy(), None, QK
+
+
+def _dc_q2_K(b):
+    scales = b[:, 0:16]
+    qs = b[:, 16:80]
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    sc = scales[:, _Q2K_SC]
+    q = ((qs[:, _Q2K_BYTE] >> _Q2K_SHIFT) & 3).astype(np.int8)
+    dl = d * (sc & 0xF).astype(np.float32)
+    ml = dmin * (sc >> 4).astype(np.float32)
+    return q, _g(dl, 16), -_g(ml, 16), 16
+
+
+def _dc_q3_K(b):
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96]
+    scales = _unpack_q3k_scales(np.ascontiguousarray(b[:, 96:108]))
+    d = _f16(b[:, 108:110])
+    q = ((qs[:, _Q3K_BYTE] >> _Q3K_SHIFT) & 3).astype(np.int32)
+    hbit = (hmask[:, _Q3K_HMB] >> _Q3K_HMBIT) & 1
+    q = (q - np.where(hbit == 0, 4, 0)).astype(np.int8)
+    dl = d * scales[:, _Q3K_SC].astype(np.float32)
+    return q, _g(dl, 16), None, 16
+
+
+def _dc_q4_K(b):
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qs = b[:, 16:144]
+    q = ((qs[:, _Q45K_BYTE] >> _Q45K_SHIFT) & 0xF).astype(np.int8)
+    dl = d * sc[:, _Q45K_SC].astype(np.float32)
+    ml = dmin * mn[:, _Q45K_SC].astype(np.float32)
+    return q, _g(dl, 32), -_g(ml, 32), 32
+
+
+def _dc_q5_K(b):
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:176]
+    q = ((qs[:, _Q45K_BYTE] >> _Q45K_SHIFT) & 0xF).astype(np.int32)
+    hb = (qh[:, _Q45K_QHB] >> _Q45K_QHBIT) & 1
+    q = (q + np.where(hb != 0, 16, 0)).astype(np.int8)
+    dl = d * sc[:, _Q45K_SC].astype(np.float32)
+    ml = dmin * mn[:, _Q45K_SC].astype(np.float32)
+    return q, _g(dl, 32), -_g(ml, 32), 32
+
+
+def _dc_q6_K(b):
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].view(np.int8)
+    d = _f16(b[:, 208:210])
+    lo = (ql[:, _Q6K_QLB] >> _Q6K_QLS) & 0xF
+    hi = (qh[:, _Q6K_QHB] >> _Q6K_QHS) & 3
+    q = ((lo | (hi << 4)).astype(np.int32) - 32).astype(np.int8)
+    dl = d * scales[:, _Q6K_SC].astype(np.float32)
+    return q, _g(dl, 16), None, 16
+
+
+def _dc_q8_K(b):
+    d = b[:, 0:4].view("<f4")
+    q = b[:, 4:260].view(np.int8).copy()
+    s = np.repeat(d, QK_K // QK, axis=1)  # expand per-256 d to per-32
+    return q, s, None, QK
+
+
+_DECOMP = {
+    GGMLType.Q4_0: _dc_q4_0,
+    GGMLType.Q4_1: _dc_q4_1,
+    GGMLType.Q5_0: _dc_q5_0,
+    GGMLType.Q5_1: _dc_q5_1,
+    GGMLType.Q8_0: _dc_q8_0,
+    GGMLType.Q8_1: _dc_q8_1,
+    GGMLType.Q2_K: _dc_q2_K,
+    GGMLType.Q3_K: _dc_q3_K,
+    GGMLType.Q4_K: _dc_q4_K,
+    GGMLType.Q5_K: _dc_q5_K,
+    GGMLType.Q6_K: _dc_q6_K,
+    GGMLType.Q8_K: _dc_q8_K,
+}
+
+
+def decompose(data, t: GGMLType, n: int):
+    """Flat buffer -> (q int8 (n,), s f32 (n/group,), m f32 | None, group)."""
+    t = GGMLType(t)
+    if t not in _DECOMP:
+        raise ValueError(f"{t!r} is not a block-quantized type")
+    q, s, m, group = _DECOMP[t](_blocks(data, t, n))
+    q = q.reshape(-1)[:n]
+    s = np.ascontiguousarray(s, np.float32).reshape(-1)[: n // group]
+    if m is not None:
+        m = np.ascontiguousarray(m, np.float32).reshape(-1)[: n // group]
+    return q, s, m, group

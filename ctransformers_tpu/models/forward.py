@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.alibi import alibi_bias
 from ..ops.norm import layer_norm, rms_norm
+from ..ops.qmatmul import matmul as mm
 from ..ops.rope import apply_rope_interleaved, apply_rope_neox, rope_angles
 from .spec import ArchSpec
 
@@ -56,10 +57,10 @@ def _norm(spec: ArchSpec, x, g, b):
 
 def _act(spec: ArchSpec, layer: Params, h):
     if spec.act == "silu_gate":
-        gate = h @ layer["w_gate"]
-        up = h @ layer["w_up"]
+        gate = mm(h, layer["w_gate"])
+        up = mm(h, layer["w_up"])
         return jax.nn.silu(gate) * up
-    up = h @ layer["w_up"]
+    up = mm(h, layer["w_up"])
     if layer.get("b_up") is not None:
         up = up + layer["b_up"]
     return jax.nn.gelu(up, approximate=True)
@@ -77,9 +78,9 @@ def _attention(
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
 
-    q = x @ layer["wq"]
-    k = x @ layer["wk"]
-    v = x @ layer["wv"]
+    q = mm(x, layer["wq"])
+    k = mm(x, layer["wk"])
+    v = mm(x, layer["wv"])
     if layer.get("bq") is not None:
         q = q + layer["bq"]
     if layer.get("bk") is not None:
@@ -134,7 +135,7 @@ def _attention(
     ctx = jnp.einsum("bhts,bshd->bthd", probs, vf)
     ctx = ctx.reshape(b, t, h * dh)
 
-    out = ctx @ layer["wo"]
+    out = mm(ctx, layer["wo"])
     if layer.get("bo") is not None:
         out = out + layer["bo"]
     return out, k_cache, v_cache
@@ -177,14 +178,14 @@ def forward(
                 mlp_in = ln1
             else:
                 mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = _act(spec, layer, mlp_in) @ layer["w_down"]
+            ff = mm(_act(spec, layer, mlp_in), layer["w_down"])
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + attn_out + ff
         else:
             x = x + attn_out
             ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = _act(spec, layer, ln2) @ layer["w_down"]
+            ff = mm(_act(spec, layer, ln2), layer["w_down"])
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + ff
@@ -194,5 +195,5 @@ def forward(
 
     last = x[:, -1, :]  # (B, D)
     head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
-    logits = last @ head  # (B, V)
+    logits = mm(last, head)  # (B, V)
     return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))

@@ -1,0 +1,380 @@
+"""Quantized weights on TPU: QTensor container + fused dequant-matmul.
+
+TPU-native replacement for the reference's quantized matmul kernels
+(CPU vec_dot_q* in k_quants.c:2550-2860, CUDA DMMV/MMVQ/MMQ in
+ggml-cuda.cu:837-3858). Instead of 12 per-format dot-product kernels, every
+GGML block format is repacked at load time (formats/quants.py:decompose)
+into one universal layout:
+
+    qs     (K, N)    int8   quantized weights, K = input dim on sublanes,
+                            N = output features on lanes
+    scales (K/g, N)  f32    per-(group of g rows, column) scale
+    mins   (K/g, N)  f32    optional additive constant (None when the
+                            format has no mins)
+
+so that dequant is `qs * repeat(scales, g) + repeat(mins, g)` — bit-exact
+with the reference's dequantize_row_* semantics — and a single Pallas kernel
+family (fused dequantize x matmul in VMEM, accumulation over K-tiles)
+serves all formats. HBM traffic is 8 bits/weight + 32/g bits of scale
+instead of 32 (f32 dense); a packed 4-bit path can halve it again later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.quants import GGMLType, decompose, quantize
+
+LANE = 128  # TPU lane width
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """A quantized 2-D weight in the universal TPU layout (see module doc).
+
+    Logical shape is (in_features, out_features); stored arrays are padded
+    to (K_pad, N_pad) with zero scales so padding contributes nothing.
+    """
+
+    qs: jnp.ndarray  # (K_pad, N_pad) int8
+    scales: jnp.ndarray  # (K_pad // group, N_pad) f32
+    mins: Optional[jnp.ndarray]  # same shape as scales, or None
+    kind: str  # ggml type name, e.g. "Q4_K"
+    group: int
+    shape: Tuple[int, int]  # logical (K, N)
+
+    def tree_flatten(self):
+        return (self.qs, self.scales, self.mins), (
+            self.kind,
+            self.group,
+            self.shape,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qs, scales, mins = children
+        return cls(qs, scales, mins, *aux)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[1]
+
+
+def make_qtensor(
+    q: np.ndarray,  # (K, N) int8
+    s: np.ndarray,  # (K/g, N) f32
+    m: Optional[np.ndarray],
+    kind: str,
+    group: int,
+) -> QTensor:
+    k, n = q.shape
+    kp = _round_up(k, 2 * LANE)  # K padding keeps group and tile alignment
+    npad = _round_up(n, LANE)
+    if (kp, npad) != (k, n):
+        q = np.pad(q, ((0, kp - k), (0, npad - n)))
+        s = np.pad(s, ((0, kp // group - s.shape[0]), (0, npad - n)))
+        if m is not None:
+            m = np.pad(m, ((0, kp // group - m.shape[0]), (0, npad - n)))
+    return QTensor(
+        jnp.asarray(q, jnp.int8),
+        jnp.asarray(s, jnp.float32),
+        None if m is None else jnp.asarray(m, jnp.float32),
+        kind,
+        group,
+        (k, n),
+    )
+
+
+def repack(data, t: GGMLType, rows: int, cols: int) -> QTensor:
+    """Repack a GGML tensor (file layout: `rows` x `cols`, quant blocks along
+    cols) into a QTensor computing x @ W with W logically (cols, rows).
+
+    This is the load-time transpose: GGML stores weights (out, in) row-major
+    (gpt2.cc:300-375); the TPU layout wants input features on sublanes.
+    """
+    t = GGMLType(t)
+    n = rows * cols
+    q, s, m, group = decompose(data, t, n)
+    q = np.ascontiguousarray(q.reshape(rows, cols).T)  # (K=cols, N=rows)
+    s = np.ascontiguousarray(s.reshape(rows, cols // group).T)
+    if m is not None:
+        m = np.ascontiguousarray(m.reshape(rows, cols // group).T)
+    return make_qtensor(q, s, m, t.name, group)
+
+
+def quantize_qtensor(w: np.ndarray, kind: str) -> QTensor:
+    """Quantize a dense (K, N) f32 weight into a QTensor (for synthetic
+    models and on-the-fly requantization)."""
+    t = GGMLType[kind.upper()]
+    k, n = w.shape
+    buf = quantize(np.ascontiguousarray(w.T), t)  # blocks along K
+    return repack(buf, t, n, k)
+
+
+def dequantize_qtensor(qt: QTensor) -> jnp.ndarray:
+    """Dense f32 (K, N) view (tests + embedding tables)."""
+    s = jnp.repeat(qt.scales, qt.group, axis=0)
+    w = qt.qs.astype(jnp.float32) * s
+    if qt.mins is not None:
+        w = w + jnp.repeat(qt.mins, qt.group, axis=0)
+    k, n = qt.shape
+    return w[:k, :n]
+
+
+# -- matmul ------------------------------------------------------------------
+
+# Pallas needs a real TPU; CPU tests use the jnp path (XLA fuses it well
+# enough for correctness work, and it partitions under pjit).
+_FORCE = os.environ.get("CT_QMATMUL")  # "pallas" | "jnp" | None (auto)
+
+
+def _use_pallas() -> bool:
+    if _FORCE == "pallas":
+        return True
+    if _FORCE == "jnp":
+        return False
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def matmul(x: jnp.ndarray, w, precision=None) -> jnp.ndarray:
+    """x @ w for dense arrays or QTensor weights; x is (..., K)."""
+    if not isinstance(w, QTensor):
+        return x @ w
+    return qmatmul(x, w)
+
+
+# beyond this many rows the matmul is FLOPs-bound, not HBM-bound, and
+# XLA's fused dequant+gemm (the jnp path) pipelines better than the
+# bandwidth-shaped kernel (measured on v5e)
+PALLAS_MAX_M = 32
+
+
+def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+    lead = x.shape[:-1]
+    k, n = qt.shape
+    xm = x.reshape(-1, k)
+    if _use_pallas() and xm.shape[0] <= PALLAS_MAX_M:
+        out = _qmm_pallas(xm, qt)
+    else:
+        out = _qmm_jnp(xm, qt)
+    return out.reshape(*lead, n)
+
+
+def _qmm_jnp(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+    """Reference path: dequantize then matmul (XLA)."""
+    k, n = qt.shape
+    kp = qt.qs.shape[0]
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+    s = jnp.repeat(qt.scales, qt.group, axis=0)
+    w = qt.qs.astype(jnp.float32) * s
+    out = x.astype(jnp.float32) @ w
+    if qt.mins is not None:
+        # sum_k x[k] * m[g(k), n] = (per-group sums of x) @ mins
+        xg = x.astype(jnp.float32).reshape(x.shape[0], -1, qt.group).sum(-1)
+        out = out + xg @ qt.mins
+    return out[:, :n]
+
+
+# -- Pallas kernel -------------------------------------------------------------
+
+
+def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, nk):
+    """One (M, TN) output tile; grid is (nn, nk) with K innermost.
+
+    Dequantizes a (TK, TN) int8 tile in VMEM and feeds the MXU:
+      out += x_tile @ (qs * repeat(scales, group))
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.float32)
+    tk, tn = qs.shape
+    s = s_ref[:]  # (tk // group, tn)
+    w = qs * jnp.repeat(s, group, axis=0)
+    out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, nk):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.float32)
+    s = s_ref[:]
+    w = qs * jnp.repeat(s, group, axis=0) + jnp.repeat(m_ref[:], group, axis=0)
+    out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+try:  # pallas imports fail gracefully on CPU-only builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+
+def _tile_divisor(dim: int, cap: int) -> int:
+    """Largest power-of-two tile <= cap dividing dim (dim is 128-aligned)."""
+    t = LANE
+    while t * 2 <= cap and dim % (t * 2) == 0:
+        t *= 2
+    return min(t, dim)
+
+
+def _tile_candidates(kp: int, npad: int) -> list:
+    """Candidate (TK, TN) tiles for the autotuner. Measured on v5e: large
+    tiles (few grid steps) are mandatory — (512, 256) tiles run 24x slower
+    than (4096, 1024) on a 4096x4096 Q8_0 (grid-step overhead dominates).
+    The optimum varies with shape/format, hence the tuner."""
+    cands = []
+    for tk_cap, tn_cap in ((1024, 512), (2048, 1024), (4096, 1024), (4096, 512)):
+        tk = _tile_divisor(kp, tk_cap)
+        tn = _tile_divisor(npad, tn_cap)
+        if (tk, tn) not in cands:
+            cands.append((tk, tn))
+    return cands
+
+
+# (kp, npad, group, has_mins, mp) -> (tk, tn), chosen by timing on first use
+_TILE_CACHE: dict = {}
+_AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
+
+
+def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
+    mp, kp = x.shape
+    npad = qt.qs.shape[1]
+    nk, nn = kp // tk, npad // tn
+    g = qt.group
+
+    kernel = _qmm_kernel if qt.mins is None else _qmm_min_kernel
+    in_specs = [
+        pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
+        pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
+        pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # scales
+    ]
+    args = [x, qt.qs, qt.scales]
+    if qt.mins is not None:
+        in_specs.append(pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)))
+        args.append(qt.mins)
+
+    return pl.pallas_call(
+        functools.partial(kernel, group=g, nk=nk),
+        grid=(nn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mp, tn), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((mp, npad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * npad,
+            bytes_accessed=kp * npad + kp // g * npad * 4 + mp * kp * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
+    mp, kp = x.shape
+    npad = qt.qs.shape[1]
+    key = (kp, npad, qt.group, qt.mins is not None, mp)
+    if key in _TILE_CACHE:
+        return _TILE_CACHE[key]
+    cands = _tile_candidates(kp, npad)
+    if isinstance(x, jax.core.Tracer):
+        # under jit tracing we cannot time; use the mid-size heuristic.
+        # Call autotune() eagerly (engine does at load) to do better.
+        return cands[min(1, len(cands) - 1)]
+    if not _AUTOTUNE or len(cands) == 1 or jax.default_backend() == "cpu":
+        _TILE_CACHE[key] = cands[-1]
+        return cands[-1]
+    import time
+
+    best, best_dt = cands[0], float("inf")
+    for tk, tn in cands:
+        try:
+            f = jax.jit(functools.partial(_qmm_pallas_tiled, tk=tk, tn=tn))
+            f(x, qt).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = f(x, qt)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+        except Exception:
+            continue
+        if dt < best_dt:
+            best, best_dt = (tk, tn), dt
+    _TILE_CACHE[key] = best
+    return best
+
+
+def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
+    k, n = qt.shape
+    kp, npad = qt.qs.shape
+    m = x.shape[0]
+    mp = _round_up(m, _SUBLANE)
+    x = x.astype(jnp.float32)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if interpret:
+        tk, tn = _tile_candidates(kp, npad)[0]
+    else:
+        tk, tn = _pick_tiles(x, qt)
+    out = _qmm_pallas_tiled(x, qt, tk, tn, interpret=interpret)
+    return out[:m, :n]
+
+
+def autotune(tree, batch_sizes=(1, 8)) -> None:
+    """Eagerly pick kernel tiles for every QTensor in a pytree.
+
+    jit tracing can't time candidates, so the engine calls this once at
+    load time for the batch sizes the serving loop will use; later jitted
+    calls hit _TILE_CACHE. No-op off-TPU or when CT_QMM_AUTOTUNE=0.
+    """
+    if not _use_pallas() or not _AUTOTUNE:
+        return
+    seen = set()
+    leaves = jax.tree_util.tree_leaves(
+        tree, is_leaf=lambda a: isinstance(a, QTensor)
+    )
+    for qt in leaves:
+        if not isinstance(qt, QTensor):
+            continue
+        for m in batch_sizes:
+            mp = _round_up(m, _SUBLANE)
+            kp, npad = qt.qs.shape
+            key = (kp, npad, qt.group, qt.mins is not None, mp)
+            if key in seen or key in _TILE_CACHE:
+                continue
+            seen.add(key)
+            x = jnp.zeros((mp, kp), jnp.float32)
+            _pick_tiles(x, qt)

@@ -68,7 +68,10 @@ def param_pspec(path: Tuple, leaf) -> P:
     """PartitionSpec for one leaf of the params pytree (by its dict key)."""
     key = None
     for p in reversed(path):
-        if hasattr(p, "key"):
+        # skip QTensor FlattenedIndexKey entries: the dict key of the
+        # enclosing weight decides the spec, and qs/scales/mins planes all
+        # shard identically (their dims are proportional)
+        if hasattr(p, "key") and isinstance(getattr(p, "key"), str):
             key = p.key
             break
     ndim = getattr(leaf, "ndim", np.ndim(leaf))

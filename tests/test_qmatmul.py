@@ -1,0 +1,130 @@
+"""QTensor repack + fused dequant-matmul tests (jnp path and Pallas
+interpret mode; the compiled kernel itself runs on real TPU in bench.py)."""
+
+import numpy as np
+import pytest
+
+from ctransformers_tpu.formats.quants import (
+    GGMLType,
+    QUANTIZED_TYPES,
+    dequantize,
+    quantize,
+)
+from ctransformers_tpu.ops import qmatmul as qm
+
+FORMATS = [GGMLType(t).name for t in sorted(QUANTIZED_TYPES)]
+
+
+def _dense(rng, k, n, scale=0.3):
+    return (rng.randn(k, n) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("kind", FORMATS)
+def test_repack_matches_dequantize(kind):
+    """dequantize_qtensor == reference dequantize, bit-exact, incl. the
+    load-time transpose."""
+    rng = np.random.RandomState(1)
+    k, n = 256, 96  # n deliberately not lane-aligned
+    w = _dense(rng, k, n)
+    t = GGMLType[kind]
+    buf = quantize(np.ascontiguousarray(w.T), t)  # file layout (n rows, k cols)
+    ref = dequantize(buf, t, k * n).reshape(n, k).T
+
+    qt = qm.repack(buf, t, rows=n, cols=k)
+    got = np.asarray(qm.dequantize_qtensor(qt))
+    np.testing.assert_array_equal(got, ref.astype(np.float32))
+
+
+@pytest.mark.parametrize("kind", ["Q4_0", "Q4_1", "Q8_0", "Q2_K", "Q4_K", "Q6_K"])
+def test_qmm_jnp_matches_dense(kind):
+    rng = np.random.RandomState(2)
+    k, n, m = 512, 160, 5
+    w = _dense(rng, k, n)
+    qt = qm.quantize_qtensor(w, kind)
+    wd = np.asarray(qm.dequantize_qtensor(qt))
+    x = _dense(rng, m, k, scale=0.5)
+
+    out = np.asarray(qm._qmm_jnp(x, qt))
+    ref = x @ wd
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["Q8_0", "Q4_K"])
+def test_qmm_pallas_interpret_matches_jnp(kind):
+    rng = np.random.RandomState(3)
+    k, n, m = 512, 256, 3
+    w = _dense(rng, k, n)
+    qt = qm.quantize_qtensor(w, kind)
+    x = _dense(rng, m, k, scale=0.5)
+
+    ref = np.asarray(qm._qmm_jnp(x, qt))
+    got = np.asarray(qm._qmm_pallas(x, qt, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_qtensor_is_pytree():
+    import jax
+
+    rng = np.random.RandomState(4)
+    qt = qm.quantize_qtensor(_dense(rng, 256, 128), "Q8_0")
+    leaves = jax.tree_util.tree_leaves(qt)
+    assert len(leaves) == 2  # qs + scales (no mins for Q8_0)
+    qt2 = jax.tree.map(lambda a: a, qt)
+    assert isinstance(qt2, qm.QTensor)
+    assert qt2.shape == qt.shape
+
+
+def test_matmul_dispatch():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    w = _dense(rng, 256, 128)
+    x = jnp.asarray(_dense(rng, 2, 256))
+    dense_out = np.asarray(qm.matmul(x, jnp.asarray(w)))
+    q_out = np.asarray(qm.matmul(x, qm.quantize_qtensor(w, "Q8_0")))
+    np.testing.assert_allclose(dense_out, q_out, atol=0.05, rtol=0.05)
+
+
+def test_quantized_forward_matches_dense():
+    """Full synthetic-llama forward with Q8_0 QTensor weights tracks the
+    dense forward closely (quantization noise only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+
+    spec = LLAMA_TINY
+    dense = random_params(spec, seed=7)
+    quant = random_params(spec, seed=7, quantize="q8_0")
+    kv = KVCache.create(spec, batch=1)
+    tokens = (np.arange(6, dtype=np.int32) % spec.n_vocab).reshape(1, 6)
+
+    f = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])
+    ld = np.asarray(f(dense, jnp.asarray(tokens), jnp.int32(0), kv))
+    lq = np.asarray(f(quant, jnp.asarray(tokens), jnp.int32(0), kv))
+    # Q8_0 is ~0.5% weight error; logits stay within a loose band
+    assert np.abs(ld - lq).max() < 0.1 * max(1.0, np.abs(ld).max())
+
+
+def test_quantized_forward_sharded():
+    """QTensor weights shard over the mesh and still match single-device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+    from ctransformers_tpu.parallel import mesh as pmesh
+
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=8, quantize="q4_k")
+    kv = KVCache.create(spec, batch=1)
+    tokens = jnp.asarray((np.arange(4, dtype=np.int32) % spec.n_vocab).reshape(1, 4))
+
+    f = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])
+    ref = np.asarray(f(params, tokens, jnp.int32(0), kv))
+
+    mesh = pmesh.make_mesh(8, data=1)
+    sp = pmesh.shard_params(params, mesh)
+    got = np.asarray(f(sp, tokens, jnp.int32(0), KVCache.create(spec, batch=1)))
+    np.testing.assert_allclose(ref, got, atol=1e-4, rtol=1e-4)
