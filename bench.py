@@ -1,0 +1,79 @@
+"""Headline benchmark: Llama-2-7B-shape Q4_K single-chip decode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Model: exact Llama-2-7B architecture (32L, 4096d, 32H, 11008ff) with Q4_K
+weights in the universal QTensor repack, random planes (byte-identical
+compute/memory path to a repacked GGUF file — quantized decode is
+weight-content-independent). Measures steady-state single-stream decode
+through the real Engine serving loop (per-token logits copy included).
+
+Baseline: the reference (marella/ctransformers) publishes no numbers
+(BASELINE.md). vs_baseline is computed against 14 tok/s, a representative
+llama.cpp CPU figure for 7B Q4_K on a big desktop CPU (the engine the
+reference wraps); the BASELINE.json north star is >= 2x that per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_TOK_S = 14.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.engine.engine import Engine
+    from ctransformers_tpu.models.synthetic import LLAMA_7B, random_params
+
+    kind = os.environ.get("BENCH_KIND", "q4_k")
+    n_ctx = int(os.environ.get("BENCH_CTX", "1024"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
+    decode_tokens = int(os.environ.get("BENCH_DECODE", "128"))
+
+    spec = LLAMA_7B.replace(n_ctx=n_ctx)
+    t0 = time.time()
+    params = random_params(spec, seed=0, quantize=kind, exact=False)
+    t1 = time.time()
+    engine = Engine(spec, params, kv_dtype=jnp.bfloat16)
+    t2 = time.time()
+    print(
+        f"# build {t1-t0:.1f}s, engine+autotune {t2-t1:.1f}s "
+        f"({jax.devices()[0].device_kind})",
+        file=sys.stderr,
+    )
+
+    rng_tokens = [int(x) for x in (abs(hash(str(i))) % spec.n_vocab for i in range(prompt_len))]
+
+    # prefill (compiles chunk programs)
+    engine.eval(rng_tokens)
+    t3 = time.time()
+    print(f"# prefill({prompt_len}) {t3-t2:.1f}s incl. compile", file=sys.stderr)
+
+    # fused on-device decode loop (greedy): first call compiles
+    engine.decode(decode_tokens, temperature=0.0, repetition_penalty=1.0)
+    t4 = time.time()
+    print(f"# decode compile+first {t4-t3:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    engine.decode(decode_tokens, temperature=0.0, repetition_penalty=1.0)
+    dt = time.time() - t0
+    tok_s = decode_tokens / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "llama7b_q4k_decode",
+                "value": round(tok_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,7 @@ class Engine:
         self.logits: Optional[np.ndarray] = None  # (V,) last-token logits
         self.hidden: Optional[np.ndarray] = None  # (D,) last hidden state
         self._steps = {}
+        self._loops = {}
 
     # -- compiled steps -----------------------------------------------------
 
@@ -118,6 +119,84 @@ class Engine:
         self.logits = np.array(logits[0], np.float32)
         self.hidden = np.array(hidden[0], np.float32)
         self.n_past = n_past + len(tokens)
+
+    # -- fused on-device decode loop ----------------------------------------
+
+    def _decode_loop(self, n: int, cfg: tuple):
+        """Compiled scan generating `n` tokens on device (one dispatch)."""
+        key_ = (n,) + cfg
+        if key_ in self._loops:
+            return self._loops[key_]
+        spec = self.spec
+        top_k, top_p, temperature, repetition_penalty = cfg
+        from .sampler import sample_device
+
+        def run(params, kv, logits, n_past, key, last):
+            def body(carry, _):
+                kv, logits, n_past, key, last = carry
+                key, sub = jax.random.split(key)
+                tok = sample_device(
+                    logits,
+                    sub,
+                    last,
+                    top_k=top_k,
+                    top_p=top_p,
+                    temperature=temperature,
+                    repetition_penalty=repetition_penalty,
+                )
+                last = jnp.roll(last, -1).at[-1].set(tok)
+                toks = jnp.broadcast_to(tok, (kv.k.shape[1], 1))
+                lg, _, kv = forward(spec, params, toks, n_past, kv)
+                return (kv, lg[0], n_past + 1, key, last), tok
+
+            (kv, logits, n_past, key, last), toks = jax.lax.scan(
+                body, (kv, logits, n_past, key, last), None, length=n
+            )
+            return toks, logits, kv
+
+        self._loops[key_] = jax.jit(run, donate_argnums=(1,))
+        return self._loops[key_]
+
+    def decode(
+        self,
+        n: int,
+        *,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        temperature: float = 0.8,
+        repetition_penalty: float = 1.1,
+        last_tokens: Sequence[int] = (),
+        last_n: int = 64,
+        seed: int = 0,
+    ) -> List[int]:
+        """Generate `n` tokens on device starting from the current logits.
+
+        The fast path replacing the per-token sample->eval Python loop
+        (reference llm.py:528-540): the whole loop is one XLA program, so
+        dispatch/tunnel latency is paid once per call, not per token.
+        """
+        if self.logits is None:
+            raise RuntimeError("decode() requires a prior eval()")
+        n = min(n, self.spec.n_ctx - self.n_past)
+        if n <= 0:
+            return []
+        last = np.full(max(int(last_n), 1), -1, np.int32)
+        lt = list(last_tokens)[-last_n:]
+        if lt:
+            last[-len(lt):] = lt
+        cfg = (int(top_k), float(top_p), float(temperature), float(repetition_penalty))
+        run = self._decode_loop(n, cfg)
+        toks, logits, self.kv = run(
+            self.params,
+            self.kv,
+            jnp.asarray(self.logits),
+            jnp.int32(self.n_past),
+            jax.random.PRNGKey(seed & 0x7FFFFFFF),
+            jnp.asarray(last),
+        )
+        self.n_past += n
+        self.logits = np.array(logits, np.float32)
+        return [int(t) for t in np.asarray(toks)]
 
     def reset(self) -> None:
         self.n_past = 0

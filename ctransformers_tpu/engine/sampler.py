@@ -129,3 +129,55 @@ def sample_llama(
     probs = np.exp(vals - vals.max())
     probs /= probs.sum()
     return int(idx[_draw(probs, rng)])
+
+
+# ---------------------------------------------------------------------------
+# On-device sampler (used by the fused decode loop, engine.py:decode).
+#
+# The host samplers above give exact reference semantics for the per-token
+# API; this one runs the same gpt-style chain (temperature -> repetition
+# penalty -> top-k -> top-p -> draw) entirely in XLA so the decode loop can
+# stay on device (one dispatch per N tokens instead of per token — the
+# reference pays one Python<->C FFI round-trip per token, llm.py:528-540).
+# ---------------------------------------------------------------------------
+
+
+def sample_device(
+    logits,  # (V,) f32 device array
+    key,  # jax PRNG key
+    last_tokens,  # (L,) int32, -1 = empty slot
+    *,
+    top_k: int,
+    top_p: float,
+    temperature: float,
+    repetition_penalty: float,
+):
+    import jax
+    import jax.numpy as jnp
+
+    v = logits.shape[0]
+    if temperature <= 0.0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / temperature
+
+    if repetition_penalty != 1.0:
+        ids = jnp.where(last_tokens >= 0, last_tokens, v)
+        seen = jnp.zeros(v + 1, bool).at[ids].set(True)[:v]
+        pen = jnp.where(l > 0, l / repetition_penalty, l * repetition_penalty)
+        l = jnp.where(seen, pen, l)
+
+    k = min(int(top_k) if top_k > 0 else v, v)
+    if k < v:
+        kth = jax.lax.top_k(l, k)[0][-1]
+        l = jnp.where(l < kth, -jnp.inf, l)
+
+    if top_p < 1.0:
+        vals = jax.lax.top_k(l, v)[0]
+        probs = jax.nn.softmax(vals)
+        cum = jnp.cumsum(probs)
+        # keep tokens until cumulative mass crosses top_p (inclusive)
+        keep = (cum - probs) < top_p
+        thr = jnp.min(jnp.where(keep, vals, jnp.inf))
+        l = jnp.where(l < thr, -jnp.inf, l)
+
+    return jax.random.categorical(key, l).astype(jnp.int32)

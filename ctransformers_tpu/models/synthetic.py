@@ -42,18 +42,38 @@ LLAMA_TINY = LLAMA_7B.replace(
 )
 
 
+def random_qtensor(rng, k: int, n: int, kind: str, scale: float = 0.02):
+    """QTensor with random planes (no encode round-trip): byte-identical
+    compute path to a repacked file tensor, built in O(bytes) time — used
+    for multi-GB benchmark models."""
+    from ..formats.quants import GGMLType, decompose, quantize as q_encode
+    from ..ops.qmatmul import make_qtensor
+
+    t = GGMLType[kind.upper()]
+    # probe the format's group size / min-plane presence
+    _, _, m0, group = decompose(q_encode(np.zeros(256, np.float32), t), t, 256)
+    q = rng.randint(-8, 8, size=(k, n), dtype=np.int8)
+    s = (rng.rand(k // group, n).astype(np.float32) + 0.5) * scale / 4
+    m = None
+    if m0 is not None:
+        m = (rng.rand(k // group, n).astype(np.float32) - 0.5) * scale / 8
+    return make_qtensor(q, s, m, t.name, group)
+
+
 def random_params(
     spec: ArchSpec,
     seed: int = 0,
     dtype=jnp.float32,
     scale: float = 0.02,
     quantize: Optional[str] = None,
+    exact: bool = True,
 ):
     """Random parameter pytree matching models/forward.py's layout.
 
     quantize: None for dense weights, or a GGML type name ("q8_0", "q4_k",
     ...) to store every matmul weight as a repacked QTensor (the layout the
-    Pallas dequant-matmul kernels consume).
+    Pallas dequant-matmul kernels consume). exact=False skips the real
+    encode round-trip (random planes; for benchmarks).
     """
     rng = np.random.RandomState(seed)
     d, f = spec.n_embd, spec.ff_dim
@@ -64,6 +84,8 @@ def random_params(
         return jnp.asarray(x, dtype)
 
     def mat(*shape):
+        if quantize is not None and not exact:
+            return random_qtensor(rng, *shape, kind=quantize, scale=scale)
         x = w(*shape)
         if quantize is not None:
             from ..ops.qmatmul import quantize_qtensor

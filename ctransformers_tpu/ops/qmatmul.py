@@ -256,9 +256,11 @@ def _tile_candidates(kp: int, npad: int) -> list:
     """Candidate (TK, TN) tiles for the autotuner. Measured on v5e: large
     tiles (few grid steps) are mandatory — (512, 256) tiles run 24x slower
     than (4096, 1024) on a 4096x4096 Q8_0 (grid-step overhead dominates).
-    The optimum varies with shape/format, hence the tuner."""
+    The optimum varies with shape/format, hence the tuner. The candidate
+    list is kept small: each compile costs ~10s through a remote-compile
+    tunnel, and the winners measured on v5e were always (2048|4096, 1024)."""
     cands = []
-    for tk_cap, tn_cap in ((1024, 512), (2048, 1024), (4096, 1024), (4096, 512)):
+    for tk_cap, tn_cap in ((2048, 1024), (4096, 1024)):
         tk = _tile_divisor(kp, tk_cap)
         tn = _tile_divisor(npad, tn_cap)
         if (tk, tn) not in cands:
@@ -269,6 +271,41 @@ def _tile_candidates(kp: int, npad: int) -> list:
 # (kp, npad, group, has_mins, mp) -> (tk, tn), chosen by timing on first use
 _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
+_TILE_CACHE_PATH = os.environ.get(
+    "CT_QMM_TILE_CACHE",
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles.json"),
+)
+
+
+def _load_disk_cache() -> None:
+    try:
+        import json
+
+        with open(_TILE_CACHE_PATH) as f:
+            for k, v in json.load(f).items():
+                kp, npad, g, has_m, mp = k.split(",")
+                _TILE_CACHE[
+                    (int(kp), int(npad), int(g), has_m == "True", int(mp))
+                ] = tuple(v)
+    except Exception:
+        pass
+
+
+def _save_disk_cache() -> None:
+    try:
+        import json
+
+        os.makedirs(os.path.dirname(_TILE_CACHE_PATH), exist_ok=True)
+        with open(_TILE_CACHE_PATH, "w") as f:
+            json.dump(
+                {",".join(map(str, k)): list(v) for k, v in _TILE_CACHE.items()},
+                f,
+            )
+    except Exception:
+        pass
+
+
+_load_disk_cache()
 
 
 def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
@@ -334,6 +371,7 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
         if dt < best_dt:
             best, best_dt = (tk, tn), dt
     _TILE_CACHE[key] = best
+    _save_disk_cache()
     return best
 
 

@@ -134,3 +134,183 @@ def ref_llm(model_path: str, model_type: str, **config):
         return RefLLM(model_path, model_type=model_type, config=cfg, lib=REF_LIB)
     except Exception:
         return None
+
+
+# -- GGUF model builders ------------------------------------------------------
+
+from ctransformers_tpu.formats.gguf import write_gguf
+
+
+def make_spm_vocab():
+    """Tiny SPM vocab: specials + 256 byte tokens + scored word pieces."""
+    pieces, scores, types = [], [], []
+
+    def add(p, s, t):
+        pieces.append(p)
+        scores.append(float(s))
+        types.append(t)
+
+    add("<unk>", 0.0, 2)
+    add("<s>", 0.0, 3)
+    add("</s>", 0.0, 3)
+    for b in range(256):
+        add(f"<0x{b:02X}>", 0.0, 6)
+    words = []
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for c in letters:
+        words.append(c)
+    for c in letters:
+        words.append("▁" + c)
+    words += [
+        "▁", "he", "ll", "lo", "el", "hell", "hello", "▁hello",
+        "wo", "or", "ld", "wor", "world", "▁world", "th", "the",
+        "▁the", "ing", "er", "▁a", "▁is",
+    ]
+    for i, w in enumerate(words):
+        add(w, -float(i) / 10.0 - 1.0, 1)
+    return pieces, scores, types
+
+
+def make_bpe_vocab():
+    """Tiny BPE vocab + merges (falcon-style 'gpt2' tokenizer model)."""
+    pieces = ["<|endoftext|>"] * 1  # id 0 unused filler
+    pieces = ["<pad>"] * 11 + ["<|endoftext|>"]  # eos/bos = 11 (reference default)
+    chars = list("abcdefghijklmnopqrstuvwxyz ") + ["\n"]
+    merge_pairs = [
+        ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+        ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d"),
+        (" ", "t"), (" t", "h"), (" th", "e"),
+    ]
+    pieces += chars
+    for l, r in merge_pairs:
+        pieces.append(l + r)
+    merges = [f"{l} {r}" for l, r in merge_pairs]
+    types = [1] * len(pieces)
+    scores = [0.0] * len(pieces)
+    return pieces, scores, types, merges
+
+
+def build_llama_gguf(
+    path: str,
+    n_ctx: int = 64,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_layer: int = 2,
+    n_ff: int = 96,
+    wtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+) -> dict:
+    """Write a tiny llama GGUF readable by BOTH engines."""
+    rng = np.random.RandomState(seed)
+    pieces, scores, types = make_spm_vocab()
+    n_vocab = len(pieces)
+    dh = n_embd // n_head
+
+    kv = {
+        "general.architecture": "llama",
+        "general.name": "tiny-llama-test",
+        "general.quantization_version": 2,
+        "llama.context_length": n_ctx,
+        "llama.embedding_length": n_embd,
+        "llama.block_count": n_layer,
+        "llama.feed_forward_length": n_ff,
+        "llama.attention.head_count": n_head,
+        "llama.attention.head_count_kv": n_head_kv,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "llama.rope.dimension_count": dh,
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": pieces,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+    }
+
+    tensors = {}
+
+    def wt(name, arr, t):
+        ne = tuple(reversed(arr.shape))
+        tensors[name] = (t, ne, _enc(arr, t))
+
+    wt("token_embd.weight", _w(rng, n_vocab, n_embd), GGMLType.F32)
+    wt("output_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+    wt("output.weight", _w(rng, n_vocab, n_embd), wtype)
+    for i in range(n_layer):
+        p = f"blk.{i}"
+        wt(f"{p}.attn_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt(f"{p}.attn_q.weight", _w(rng, n_head * dh, n_embd), wtype)
+        wt(f"{p}.attn_k.weight", _w(rng, n_head_kv * dh, n_embd), wtype)
+        wt(f"{p}.attn_v.weight", _w(rng, n_head_kv * dh, n_embd), wtype)
+        wt(f"{p}.attn_output.weight", _w(rng, n_embd, n_head * dh), wtype)
+        wt(f"{p}.ffn_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt(f"{p}.ffn_gate.weight", _w(rng, n_ff, n_embd), wtype)
+        wt(f"{p}.ffn_up.weight", _w(rng, n_ff, n_embd), wtype)
+        wt(f"{p}.ffn_down.weight", _w(rng, n_embd, n_ff), wtype)
+
+    write_gguf(path, kv, tensors)
+    return dict(n_vocab=n_vocab, n_ctx=n_ctx)
+
+
+def build_falcon_gguf(
+    path: str,
+    n_ctx: int = 64,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 1,
+    n_layer: int = 2,
+    n_ff: int = 128,
+    wtype: GGMLType = GGMLType.F32,
+    norm2: bool = False,
+    seed: int = 0,
+) -> dict:
+    """Write a tiny falcon GGUF (MQA by default, 40B-style with norm2)."""
+    rng = np.random.RandomState(seed)
+    pieces, scores, types, merges = make_bpe_vocab()
+    n_vocab = len(pieces)
+    dh = n_embd // n_head
+
+    kv = {
+        "general.architecture": "falcon",
+        "general.name": "tiny-falcon-test",
+        "general.quantization_version": 2,
+        "falcon.context_length": n_ctx,
+        "falcon.embedding_length": n_embd,
+        "falcon.block_count": n_layer,
+        "falcon.feed_forward_length": n_ff,
+        "falcon.attention.head_count": n_head,
+        "falcon.attention.head_count_kv": n_head_kv,
+        "falcon.attention.layer_norm_epsilon": 1e-5,
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": pieces,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.merges": merges,
+    }
+
+    tensors = {}
+
+    def wt(name, arr, t):
+        ne = tuple(reversed(arr.shape))
+        tensors[name] = (t, ne, _enc(arr, t))
+
+    wt("token_embd.weight", _w(rng, n_vocab, n_embd), GGMLType.F32)
+    wt("output_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+    wt("output_norm.bias", _w(rng, n_embd), GGMLType.F32)
+    wt("output.weight", _w(rng, n_vocab, n_embd), wtype)
+    qkv_rows = (n_head + 2 * n_head_kv) * dh
+    for i in range(n_layer):
+        p = f"blk.{i}"
+        wt(f"{p}.attn_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt(f"{p}.attn_norm.bias", _w(rng, n_embd), GGMLType.F32)
+        if norm2:
+            wt(f"{p}.attn_norm_2.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.attn_norm_2.bias", _w(rng, n_embd), GGMLType.F32)
+        wt(f"{p}.attn_qkv.weight", _w(rng, qkv_rows, n_embd), wtype)
+        wt(f"{p}.attn_output.weight", _w(rng, n_embd, n_head * dh), wtype)
+        wt(f"{p}.ffn_up.weight", _w(rng, n_ff, n_embd), wtype)
+        wt(f"{p}.ffn_down.weight", _w(rng, n_embd, n_ff), wtype)
+
+    write_gguf(path, kv, tensors)
+    return dict(n_vocab=n_vocab, n_ctx=n_ctx)
