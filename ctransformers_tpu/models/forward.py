@@ -196,4 +196,6 @@ def forward(
     last = x[:, -1, :]  # (B, D)
     head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
     logits = mm(last, head)  # (B, V)
+    if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
+        logits = logits + params["lm_head_b"]
     return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))

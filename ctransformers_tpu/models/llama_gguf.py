@@ -23,8 +23,7 @@ import numpy as np
 
 from ..formats.gguf import GGUFReader
 from ..formats.quants import GGMLType
-from ..ops.qmatmul import QTensor, make_qtensor, repack
-from ..formats.quants import decompose
+from ..ops.qmatmul import QTensor, repack, repack_select_rows
 from .spec import ArchSpec
 from .vocab import GGUFVocab
 
@@ -89,31 +88,9 @@ def _split_qkv(r: GGUFReader, name: str, sizes):
     info = r.tensors[name]
     rows, cols = info.numpy_shape
     assert rows == sum(sizes), (rows, sizes)
-    outs = []
-    if info.type in (GGMLType.F32, GGMLType.F16):
-        w = r.tensor_f32(name)
-        o = 0
-        for sz in sizes:
-            outs.append(np.ascontiguousarray(w[o : o + sz].T))
-            o += sz
-        return outs
-    q, s, m, group = decompose(r.tensor_bytes(name), info.type, rows * cols)
-    q = q.reshape(rows, cols)
-    s = s.reshape(rows, cols // group)
-    m = m.reshape(rows, cols // group) if m is not None else None
-    o = 0
-    for sz in sizes:
-        outs.append(
-            make_qtensor(
-                np.ascontiguousarray(q[o : o + sz].T),
-                np.ascontiguousarray(s[o : o + sz].T),
-                None if m is None else np.ascontiguousarray(m[o : o + sz].T),
-                GGMLType(info.type).name,
-                group,
-            )
-        )
-        o += sz
-    return outs
+    bounds = np.cumsum([0] + list(sizes))
+    groups = [np.arange(bounds[i], bounds[i + 1]) for i in range(len(sizes))]
+    return repack_select_rows(r.tensor_bytes(name), info.type, rows, cols, groups)
 
 
 def load_bundle(path: str, context_length: int = -1):

@@ -89,8 +89,12 @@ def make_qtensor(
     group: int,
 ) -> QTensor:
     k, n = q.shape
-    kp = _round_up(k, 2 * LANE)  # K padding keeps group and tile alignment
-    npad = _round_up(n, LANE)
+    # Pad big dims to 1024-multiples so large kernel tiles divide evenly:
+    # e.g. llama's n_ff=11008 only admits 256-wide tiles (11008 = 43*256),
+    # forcing an 86-step grid that runs ~3x slower than (1024+)-tiles
+    # (grid-step overhead). +2.3% HBM for 11008->11264 is a clear win.
+    kp = _round_up(k, 1024 if k >= 1024 else 2 * LANE)
+    npad = _round_up(n, 1024 if n >= 1024 else LANE)
     if (kp, npad) != (k, n):
         q = np.pad(q, ((0, kp - k), (0, npad - n)))
         s = np.pad(s, ((0, kp // group - s.shape[0]), (0, npad - n)))
@@ -260,7 +264,7 @@ def _tile_candidates(kp: int, npad: int) -> list:
     list is kept small: each compile costs ~10s through a remote-compile
     tunnel, and the winners measured on v5e were always (2048|4096, 1024)."""
     cands = []
-    for tk_cap, tn_cap in ((2048, 1024), (4096, 1024)):
+    for tk_cap, tn_cap in ((1024, 1024), (2048, 1024), (4096, 1024)):
         tk = _tile_divisor(kp, tk_cap)
         tn = _tile_divisor(npad, tn_cap)
         if (tk, tn) not in cands:
@@ -416,3 +420,36 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
             seen.add(key)
             x = jnp.zeros((mp, kp), jnp.float32)
             _pick_tiles(x, qt)
+
+
+def repack_select_rows(data, t: GGMLType, rows: int, cols: int, row_groups):
+    """Repack a GGML tensor into one QTensor-or-dense per row-index group.
+
+    Used to split fused QKV weights whose output rows belong to different
+    projections: contiguous [q|k|v] (falcon llama.cpp:2629-2652, mpt
+    Wqkv), or per-head interleaved [h0:q,k,v | h1:q,k,v | ...]
+    (gpt-neox.cc view strides). `row_groups` are index arrays into the
+    file-layout rows (= output features).
+    """
+    t = GGMLType(t)
+    if t in (GGMLType.F32, GGMLType.F16):
+        from ..formats.quants import dequantize
+
+        w = dequantize(data, t, rows * cols).reshape(rows, cols)
+        return [np.ascontiguousarray(w[g].T) for g in row_groups]
+    q, s, m, group = decompose(data, t, rows * cols)
+    q = q.reshape(rows, cols)
+    s = s.reshape(rows, cols // group)
+    m = m.reshape(rows, cols // group) if m is not None else None
+    out = []
+    for g in row_groups:
+        out.append(
+            make_qtensor(
+                np.ascontiguousarray(q[g].T),
+                np.ascontiguousarray(s[g].T),
+                None if m is None else np.ascontiguousarray(m[g].T),
+                t.name,
+                group,
+            )
+        )
+    return out

@@ -314,3 +314,203 @@ def build_falcon_gguf(
 
     write_gguf(path, kv, tensors)
     return dict(n_vocab=n_vocab, n_ctx=n_ctx)
+
+
+# -- legacy example-model builders (gptj/neox/dolly/mpt/replit/starcoder) ----
+
+
+def build_gptj(
+    path, n_vocab=96, n_ctx=64, n_embd=32, n_head=4, n_layer=2,
+    n_rot=8, ftype=FTYPE_F32, seed=0,
+):
+    """gptj.cc layout: split q/k/v without biases, lm_head with bias."""
+    rng = np.random.RandomState(seed)
+    wtype = _FTYPE_TO_TYPE[ftype]
+    with LegacyWriter(path) as w:
+        for v in (n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot):
+            w.write_i32(v)
+        w.write_ftype(ftype)
+        w.write_i32(n_vocab)
+        w.write_vocab(make_vocab(n_vocab))
+
+        def wt(name, arr, t):
+            w.write_tensor(name, t, tuple(reversed(arr.shape)), _enc(arr, t))
+
+        wt("transformer.wte.weight", _w(rng, n_vocab, n_embd), wtype)
+        wt("transformer.ln_f.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt("transformer.ln_f.bias", _w(rng, n_embd), GGMLType.F32)
+        wt("lm_head.weight", _w(rng, n_vocab, n_embd), wtype)
+        wt("lm_head.bias", _w(rng, n_vocab), GGMLType.F32)
+        for i in range(n_layer):
+            p = f"transformer.h.{i}"
+            wt(f"{p}.ln_1.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.ln_1.bias", _w(rng, n_embd), GGMLType.F32)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                wt(f"{p}.attn.{proj}.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.mlp.fc_in.weight", _w(rng, 4 * n_embd, n_embd), wtype)
+            wt(f"{p}.mlp.fc_in.bias", _w(rng, 4 * n_embd), GGMLType.F32)
+            wt(f"{p}.mlp.fc_out.weight", _w(rng, n_embd, 4 * n_embd), wtype)
+            wt(f"{p}.mlp.fc_out.bias", _w(rng, n_embd), GGMLType.F32)
+
+
+def build_gpt_neox(
+    path, n_vocab=96, n_ctx=64, n_embd=32, n_head=4, n_layer=2,
+    n_rot=4, par_res=1, ftype=FTYPE_F32, seed=0,
+):
+    """gpt-neox.cc layout (also dolly): fused per-head QKV with biases."""
+    rng = np.random.RandomState(seed)
+    wtype = _FTYPE_TO_TYPE[ftype]
+    with LegacyWriter(path) as w:
+        for v in (n_vocab, n_ctx, n_embd, n_head, n_layer, n_rot, par_res):
+            w.write_i32(v)
+        w.write_ftype(ftype)
+        w.write_i32(n_vocab)
+        w.write_vocab(make_vocab(n_vocab))
+
+        def wt(name, arr, t):
+            w.write_tensor(name, t, tuple(reversed(arr.shape)), _enc(arr, t))
+
+        wt("gpt_neox.embed_in.weight", _w(rng, n_vocab, n_embd), wtype)
+        wt("gpt_neox.final_layer_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt("gpt_neox.final_layer_norm.bias", _w(rng, n_embd), GGMLType.F32)
+        wt("embed_out.weight", _w(rng, n_vocab, n_embd), wtype)
+        for i in range(n_layer):
+            p = f"gpt_neox.layers.{i}"
+            wt(f"{p}.input_layernorm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.input_layernorm.bias", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}.post_attention_layernorm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.post_attention_layernorm.bias", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}.attention.query_key_value.weight", _w(rng, 3 * n_embd, n_embd), wtype)
+            wt(f"{p}.attention.query_key_value.bias", _w(rng, 3 * n_embd), GGMLType.F32)
+            wt(f"{p}.attention.dense.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.attention.dense.bias", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}.mlp.dense_h_to_4h.weight", _w(rng, 4 * n_embd, n_embd), wtype)
+            wt(f"{p}.mlp.dense_h_to_4h.bias", _w(rng, 4 * n_embd), GGMLType.F32)
+            wt(f"{p}.mlp.dense_4h_to_h.weight", _w(rng, n_embd, 4 * n_embd), wtype)
+            wt(f"{p}.mlp.dense_4h_to_h.bias", _w(rng, n_embd), GGMLType.F32)
+
+
+def build_mpt(
+    path, n_vocab=96, max_seq_len=64, d_model=32, n_heads=4, n_layers=2,
+    alibi_bias_max=8.0, clip_qkv=0.0, ftype=FTYPE_F32, seed=0,
+):
+    """mpt.cc layout: bias-free, fused [q|k|v], tied head, ALiBi."""
+    import struct as _s
+
+    rng = np.random.RandomState(seed)
+    wtype = _FTYPE_TO_TYPE[ftype]
+    with LegacyWriter(path) as w:
+        for v in (d_model, max_seq_len, n_heads, n_layers, n_vocab):
+            w.write_i32(v)
+        w._f.write(_s.pack("<f", alibi_bias_max))
+        w._f.write(_s.pack("<f", clip_qkv))
+        w.write_ftype(ftype)
+        # mpt.cc reads the vocab without a repeated count (mpt.cc:95-114)
+        w.write_vocab(make_vocab(n_vocab))
+
+        def wt(name, arr, t):
+            w.write_tensor(name, t, tuple(reversed(arr.shape)), _enc(arr, t))
+
+        wt("transformer.wte.weight", _w(rng, n_vocab, d_model), wtype)
+        wt("transformer.norm_f.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+        for i in range(n_layers):
+            p = f"transformer.blocks.{i}"
+            wt(f"{p}.norm_1.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+            wt(f"{p}.attn.Wqkv.weight", _w(rng, 3 * d_model, d_model), wtype)
+            wt(f"{p}.attn.out_proj.weight", _w(rng, d_model, d_model), wtype)
+            wt(f"{p}.norm_2.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+            wt(f"{p}.ffn.up_proj.weight", _w(rng, 4 * d_model, d_model), wtype)
+            wt(f"{p}.ffn.down_proj.weight", _w(rng, d_model, 4 * d_model), wtype)
+
+
+def make_replit_vocab(n_vocab):
+    pieces = ["<|endoftext|>"]
+    scores = [0.0]
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = []
+    for c in letters:
+        words.append(c)
+    for c in letters:
+        words.append("▁" + c)
+    words += ["▁hello", "▁world", "he", "ll", "lo", "or", "ld",
+              "▁the", "ing", "er"]
+    i = 0
+    while len(pieces) + len(words) < n_vocab:
+        words.append(f"<unused{i}>")
+        i += 1
+    for j, wrd in enumerate(words[: n_vocab - 1]):
+        pieces.append(wrd)
+        scores.append(-1.0 - j / 10.0)
+    return pieces, scores
+
+
+def build_replit(
+    path, n_vocab=96, max_seq_len=64, d_model=32, n_heads=4, n_layers=2,
+    ftype=FTYPE_F32, seed=0,
+):
+    """replit.cc layout: MPT-style weights + scored unigram vocab."""
+    rng = np.random.RandomState(seed)
+    wtype = _FTYPE_TO_TYPE[ftype]
+    pieces, scores = make_replit_vocab(n_vocab)
+    with LegacyWriter(path) as w:
+        for v in (d_model, max_seq_len, n_heads, n_layers, n_vocab):
+            w.write_i32(v)
+        w.write_ftype(ftype)
+        w.write_vocab(pieces, scores=scores)
+
+        def wt(name, arr, t):
+            w.write_tensor(name, t, tuple(reversed(arr.shape)), _enc(arr, t))
+
+        wt("transformer.wte.weight", _w(rng, n_vocab, d_model), wtype)
+        wt("transformer.norm_f.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+        for i in range(n_layers):
+            p = f"transformer.blocks.{i}"
+            wt(f"{p}.norm_1.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+            wt(f"{p}.attn.Wqkv.weight", _w(rng, 3 * d_model, d_model), wtype)
+            wt(f"{p}.attn.out_proj.weight", _w(rng, d_model, d_model), wtype)
+            wt(f"{p}.norm_2.weight", _w(rng, d_model) + 1.0, GGMLType.F32)
+            wt(f"{p}.ffn.up_proj.weight", _w(rng, 4 * d_model, d_model), wtype)
+            wt(f"{p}.ffn.down_proj.weight", _w(rng, d_model, 4 * d_model), wtype)
+
+
+def build_starcoder(
+    path, n_vocab=96, n_ctx=64, n_embd=32, n_head=4, n_layer=2,
+    ftype=FTYPE_F32, seed=0, specials=("<|end|>",),
+):
+    """starcoder.cc layout: gpt2-like with c_attn sized n_embd + 2*kv_dim
+    (kv_heads == n_head in distributed files, starcoder.cc:163)."""
+    rng = np.random.RandomState(seed)
+    wtype = _FTYPE_TO_TYPE[ftype]
+    vocab = make_vocab(n_vocab)
+    for j, s in enumerate(specials):
+        vocab[len(vocab) - 1 - j] = s
+    kv_dim = n_embd  # pre-expanded MQA
+    with LegacyWriter(path) as w:
+        for v in (n_vocab, n_ctx, n_embd, n_head, n_layer):
+            w.write_i32(v)
+        w.write_ftype(ftype)
+        w.write_i32(n_vocab)
+        w.write_vocab(vocab)
+
+        def wt(name, arr, t):
+            w.write_tensor(name, t, tuple(reversed(arr.shape)), _enc(arr, t))
+
+        wt("model/ln_f/g", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt("model/ln_f/b", _w(rng, n_embd), GGMLType.F32)
+        wt("model/wte", _w(rng, n_vocab, n_embd), wtype)
+        wt("model/wpe", _w(rng, n_ctx, n_embd), GGMLType.F32)
+        wt("model/lm_head", _w(rng, n_vocab, n_embd), wtype)
+        for i in range(n_layer):
+            p = f"model/h{i}"
+            wt(f"{p}/ln_1/g", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}/ln_1/b", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}/ln_2/g", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}/ln_2/b", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}/attn/c_attn/w", _w(rng, n_embd + 2 * kv_dim, n_embd), wtype)
+            wt(f"{p}/attn/c_attn/b", _w(rng, n_embd + 2 * kv_dim), GGMLType.F32)
+            wt(f"{p}/attn/c_proj/w", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}/attn/c_proj/b", _w(rng, n_embd), GGMLType.F32)
+            wt(f"{p}/mlp/c_fc/w", _w(rng, 4 * n_embd, n_embd), wtype)
+            wt(f"{p}/mlp/c_fc/b", _w(rng, 4 * n_embd), GGMLType.F32)
+            wt(f"{p}/mlp/c_proj/w", _w(rng, n_embd, 4 * n_embd), wtype)
+            wt(f"{p}/mlp/c_proj/b", _w(rng, n_embd), GGMLType.F32)
