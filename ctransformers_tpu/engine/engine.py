@@ -64,6 +64,13 @@ class Engine:
         self.hidden: Optional[np.ndarray] = None  # (D,) last hidden state
         self._steps = {}
         self._loops = {}
+        # timing counters (reference: llama_get_timings, llama.cpp:6189-6226)
+        self.t_p_eval_us = 0  # prompt eval
+        self.t_eval_us = 0  # decode eval
+        self.t_sample_us = 0
+        self.n_p_eval = 0
+        self.n_eval = 0
+        self.n_sample = 0
 
     # -- compiled steps -----------------------------------------------------
 
@@ -103,6 +110,9 @@ class Engine:
         # clamp like the reference (llm.h:126): never write past the window
         n_past = min(n_past, self.spec.n_ctx - len(tokens))
         n_past = max(n_past, 0)
+        import time as _time
+
+        t0 = _time.perf_counter()
         pos = 0
         for size in self._chunks(len(tokens), self.spec.n_ctx):
             chunk = np.asarray(
@@ -119,6 +129,13 @@ class Engine:
         self.logits = np.array(logits[0], np.float32)
         self.hidden = np.array(hidden[0], np.float32)
         self.n_past = n_past + len(tokens)
+        dt_us = int((_time.perf_counter() - t0) * 1e6)
+        if len(tokens) > 1:
+            self.t_p_eval_us += dt_us
+            self.n_p_eval += len(tokens)
+        else:
+            self.t_eval_us += dt_us
+            self.n_eval += 1
 
     # -- fused on-device decode loop ----------------------------------------
 
@@ -184,6 +201,9 @@ class Engine:
         lt = list(last_tokens)[-last_n:]
         if lt:
             last[-len(lt):] = lt
+        import time as _time
+
+        t0 = _time.perf_counter()
         cfg = (int(top_k), float(top_p), float(temperature), float(repetition_penalty))
         run = self._decode_loop(n, cfg)
         toks, logits, self.kv = run(
@@ -196,7 +216,12 @@ class Engine:
         )
         self.n_past += n
         self.logits = np.array(logits, np.float32)
-        return [int(t) for t in np.asarray(toks)]
+        out = [int(t) for t in np.asarray(toks)]
+        dt_us = int((_time.perf_counter() - t0) * 1e6)
+        self.t_eval_us += dt_us
+        self.n_eval += n
+        self.n_sample += n
+        return out
 
     def reset(self) -> None:
         self.n_past = 0
@@ -206,3 +231,75 @@ class Engine:
     def rewind(self, n_past: int) -> None:
         """Drop cached context beyond `n_past` (prefix reuse)."""
         self.n_past = min(self.n_past, n_past)
+
+
+# ---------------------------------------------------------------------------
+# State snapshot / restore (reference: llama_copy_state_data /
+# llama_set_state_data, llama.cpp:5658-5951 — rng + logits + embedding +
+# live KV serialization). Here the state is a host pytree: only the
+# `n_past` live KV slots are saved, like the reference's kv_ntok trimming.
+# ---------------------------------------------------------------------------
+
+
+def _engine_state(self) -> dict:
+    state = {
+        "n_past": self.n_past,
+        "logits": None if self.logits is None else np.asarray(self.logits),
+        "hidden": None if self.hidden is None else np.asarray(self.hidden),
+        "kv_dtype": str(np.dtype(jnp.zeros(0, self.kv_dtype).dtype)),
+    }
+    n = self.n_past
+    state["kv_k"] = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
+    state["kv_v"] = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
+    return state
+
+
+def _engine_load_state(self, state: dict) -> None:
+    n = int(state["n_past"])
+    kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
+    if n:
+        k = jnp.asarray(state["kv_k"], self.kv_dtype)
+        v = jnp.asarray(state["kv_v"], self.kv_dtype)
+        kv = KVCache(
+            kv.k.at[:, :, :n].set(k),
+            kv.v.at[:, :, :n].set(v),
+        )
+    self.kv = kv
+    self.n_past = n
+    self.logits = None if state["logits"] is None else np.array(state["logits"])
+    self.hidden = None if state["hidden"] is None else np.array(state["hidden"])
+
+
+Engine.save_state = _engine_state
+Engine.load_state = _engine_load_state
+
+
+def _engine_timings(self) -> dict:
+    """llama_get_timings-shaped counters (llama.cpp:6189-6226)."""
+    return {
+        "t_p_eval_ms": self.t_p_eval_us / 1e3,
+        "t_eval_ms": self.t_eval_us / 1e3,
+        "t_sample_ms": self.t_sample_us / 1e3,
+        "n_p_eval": max(1, self.n_p_eval),
+        "n_eval": max(1, self.n_eval),
+        "n_sample": max(1, self.n_sample),
+    }
+
+
+def _engine_print_timings(self) -> None:
+    t = self.timings()
+    print(
+        f"prompt eval time = {t['t_p_eval_ms']:10.2f} ms / {t['n_p_eval']} tokens"
+        f" ({t['t_p_eval_ms']/t['n_p_eval']:.2f} ms per token)"
+    )
+    print(
+        f"       eval time = {t['t_eval_ms']:10.2f} ms / {t['n_eval']} runs  "
+        f" ({t['t_eval_ms']/t['n_eval']:.2f} ms per token)"
+    )
+    print(
+        f"     sample time = {t['t_sample_ms']:10.2f} ms / {t['n_sample']} runs"
+    )
+
+
+Engine.timings = _engine_timings
+Engine.print_timings = _engine_print_timings

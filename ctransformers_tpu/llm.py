@@ -132,17 +132,23 @@ class LLM:
                 )
             model_type = "gguf"
 
-        self._bundle = load_model(
+        bundle = load_model(
             model_path, model_type, context_length=config.context_length
         )
+        self._init_from_bundle(bundle, model_type)
+
+    def _init_from_bundle(self, bundle, model_type: str) -> None:
+        """Wire up the engine/sampler from a loaded ModelBundle (shared by
+        the GGML/GGUF path and the GPTQ backend)."""
+        self._bundle = bundle
         # GGUF reports its own architecture (reference llm.py:256-258)
-        if self._bundle.architecture:
-            model_type = self._bundle.architecture
+        if bundle.architecture:
+            model_type = bundle.architecture
         self._model_type = model_type
-        self._engine = Engine(self._bundle.spec, self._bundle.params)
+        self._engine = Engine(bundle.spec, bundle.params)
         self._sample_fn = (
             samplers.sample_llama
-            if self._bundle.sampler == "llama"
+            if bundle.sampler == "llama"
             else samplers.sample_gpt
         )
 
@@ -546,3 +552,45 @@ class LLM:
         input = self.prepare_inputs_for_generation(input, reset=True)
         self.eval(input, batch_size=batch_size, threads=threads)
         return list(self.embeddings)
+
+
+# ---------------------------------------------------------------------------
+# Session save/load — the reference engine's session files (magic GGSN +
+# token history + full inference state, llama.cpp:5952-6032) as an .npz:
+# reloading a session skips re-evaluating the saved prompt prefix.
+# ---------------------------------------------------------------------------
+
+
+def _llm_save_session(self, path: str) -> None:
+    """Saves the evaluated context (tokens + KV cache + logits) to `path`."""
+    state = self._engine.save_state()
+    arrays = {
+        "tokens": np.asarray(self._context, np.int32),
+        "n_past": np.int64(state["n_past"]),
+        "kv_k": state["kv_k"],
+        "kv_v": state["kv_v"],
+    }
+    if state["logits"] is not None:
+        arrays["logits"] = state["logits"]
+    if state["hidden"] is not None:
+        arrays["hidden"] = state["hidden"]
+    np.savez_compressed(path, **arrays)
+
+
+def _llm_load_session(self, path: str) -> List[int]:
+    """Restores a session; returns the restored token history."""
+    data = np.load(path)
+    state = {
+        "n_past": int(data["n_past"]),
+        "kv_k": data["kv_k"],
+        "kv_v": data["kv_v"],
+        "logits": data["logits"] if "logits" in data else None,
+        "hidden": data["hidden"] if "hidden" in data else None,
+    }
+    self._engine.load_state(state)
+    self._context = [int(t) for t in data["tokens"]]
+    return list(self._context)
+
+
+LLM.save_session = _llm_save_session
+LLM.load_session = _llm_load_session

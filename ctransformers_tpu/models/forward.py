@@ -111,9 +111,11 @@ def _attention(
         v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0)
     )
 
-    # scores over the full fixed-length cache, masked positionally
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    # scores over the full fixed-length cache, masked positionally.
+    # Compute in the cache dtype (bf16 on TPU halves KV HBM traffic and
+    # skips a full-cache f32 materialization); accumulate f32 on the MXU.
+    kf = k_cache
+    vf = v_cache
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
@@ -121,7 +123,12 @@ def _attention(
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     # (B, H, T, S)
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kf) * scale
+    scores = jnp.einsum(
+        "bthd,bshd->bhts",
+        q.astype(kf.dtype),
+        kf,
+        preferred_element_type=jnp.float32,
+    ) * scale
 
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, spec.n_ctx)[None]
@@ -132,7 +139,12 @@ def _attention(
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhts,bshd->bthd", probs, vf)
+    ctx = jnp.einsum(
+        "bhts,bshd->bthd",
+        probs.astype(vf.dtype),
+        vf,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
     ctx = ctx.reshape(b, t, h * dh)
 
     out = mm(ctx, layer["wo"])

@@ -49,10 +49,16 @@ def random_qtensor(rng, k: int, n: int, kind: str, scale: float = 0.02):
     from ..formats.quants import GGMLType, decompose, quantize as q_encode
     from ..ops.qmatmul import make_qtensor
 
+    from ..ops.qmatmul import _PACK4_ZP
+
     t = GGMLType[kind.upper()]
     # probe the format's group size / min-plane presence
     _, _, m0, group = decompose(q_encode(np.zeros(256, np.float32), t), t, 256)
-    q = rng.randint(-8, 8, size=(k, n), dtype=np.int8)
+    if t.name in _PACK4_ZP:  # 4-bit grids must fit the packed nibble range
+        zp = _PACK4_ZP[t.name]
+        q = rng.randint(-zp, 16 - zp, size=(k, n), dtype=np.int8)
+    else:
+        q = rng.randint(-8, 8, size=(k, n), dtype=np.int8)
     s = (rng.rand(k // group, n).astype(np.float32) + 0.5) * scale / 4
     m = None
     if m0 is not None:

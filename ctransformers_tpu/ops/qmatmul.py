@@ -40,6 +40,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# formats whose q grid fits in 4 bits; stored nibble-packed (two K-halves
+# per byte: byte (k, n) holds rows k and k + K_pad/2), halving weight HBM
+# traffic vs the int8 grid. zero-point 8 re-biases signed grids into [0,15].
+_PACK4_ZP = {"Q4_0": 8, "Q3_K": 8, "Q4_1": 0, "Q2_K": 0, "Q4_K": 0, "GPTQ4": 0}
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
@@ -47,26 +53,33 @@ class QTensor:
 
     Logical shape is (in_features, out_features); stored arrays are padded
     to (K_pad, N_pad) with zero scales so padding contributes nothing.
+    4-bit formats store qs nibble-packed as uint8 (K_pad/2, N_pad) with
+    zero-point `zp` (packed=True); others as int8 (K_pad, N_pad).
     """
 
-    qs: jnp.ndarray  # (K_pad, N_pad) int8
+    qs: jnp.ndarray  # int8 (K_pad, N_pad) | packed uint8 (K_pad/2, N_pad)
     scales: jnp.ndarray  # (K_pad // group, N_pad) f32
     mins: Optional[jnp.ndarray]  # same shape as scales, or None
     kind: str  # ggml type name, e.g. "Q4_K"
     group: int
     shape: Tuple[int, int]  # logical (K, N)
+    packed: bool = False
+    zp: int = 0
+    perm: Optional[jnp.ndarray] = None  # (K,) input-row gather (GPTQ act-order)
 
     def tree_flatten(self):
-        return (self.qs, self.scales, self.mins), (
+        return (self.qs, self.scales, self.mins, self.perm), (
             self.kind,
             self.group,
             self.shape,
+            self.packed,
+            self.zp,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        qs, scales, mins = children
-        return cls(qs, scales, mins, *aux)
+        qs, scales, mins, perm = children
+        return cls(qs, scales, mins, *aux, perm=perm)
 
     @property
     def ndim(self) -> int:
@@ -87,6 +100,7 @@ def make_qtensor(
     m: Optional[np.ndarray],
     kind: str,
     group: int,
+    perm: Optional[np.ndarray] = None,
 ) -> QTensor:
     k, n = q.shape
     # Pad big dims to 1024-multiples so large kernel tiles divide evenly:
@@ -100,13 +114,22 @@ def make_qtensor(
         s = np.pad(s, ((0, kp // group - s.shape[0]), (0, npad - n)))
         if m is not None:
             m = np.pad(m, ((0, kp // group - m.shape[0]), (0, npad - n)))
+    packed = kind in _PACK4_ZP
+    zp = _PACK4_ZP.get(kind, 0)
+    if packed:
+        half = kp // 2
+        nib = (q.astype(np.int16) + zp).astype(np.uint8)
+        q = nib[:half] | (nib[half:] << 4)
     return QTensor(
-        jnp.asarray(q, jnp.int8),
+        jnp.asarray(q, jnp.uint8 if packed else jnp.int8),
         jnp.asarray(s, jnp.float32),
         None if m is None else jnp.asarray(m, jnp.float32),
         kind,
         group,
         (k, n),
+        packed,
+        zp,
+        None if perm is None else jnp.asarray(perm, jnp.int32),
     )
 
 
@@ -136,14 +159,26 @@ def quantize_qtensor(w: np.ndarray, kind: str) -> QTensor:
     return repack(buf, t, n, k)
 
 
+def unpack_grid(qt: QTensor) -> jnp.ndarray:
+    """The (K_pad, N_pad) int grid, unpacking nibbles when packed."""
+    if not qt.packed:
+        return qt.qs
+    lo = (qt.qs & 0xF).astype(jnp.int32) - qt.zp
+    hi = (qt.qs >> 4).astype(jnp.int32) - qt.zp
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
 def dequantize_qtensor(qt: QTensor) -> jnp.ndarray:
-    """Dense f32 (K, N) view (tests + embedding tables)."""
+    """Dense f32 (K, N) view in LOGICAL row order (tests + embeddings)."""
     s = jnp.repeat(qt.scales, qt.group, axis=0)
-    w = qt.qs.astype(jnp.float32) * s
+    w = unpack_grid(qt).astype(jnp.float32) * s
     if qt.mins is not None:
         w = w + jnp.repeat(qt.mins, qt.group, axis=0)
     k, n = qt.shape
-    return w[:k, :n]
+    w = w[:k, :n]
+    if qt.perm is not None:
+        w = jnp.zeros_like(w).at[qt.perm].set(w)
+    return w
 
 
 # -- matmul ------------------------------------------------------------------
@@ -182,6 +217,8 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     lead = x.shape[:-1]
     k, n = qt.shape
     xm = x.reshape(-1, k)
+    if qt.perm is not None:
+        xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
     if _use_pallas() and xm.shape[0] <= PALLAS_MAX_M:
         out = _qmm_pallas(xm, qt)
     else:
@@ -192,11 +229,11 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
 def _qmm_jnp(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     """Reference path: dequantize then matmul (XLA)."""
     k, n = qt.shape
-    kp = qt.qs.shape[0]
+    kp = qt.qs.shape[0] * (2 if qt.packed else 1)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
     s = jnp.repeat(qt.scales, qt.group, axis=0)
-    w = qt.qs.astype(jnp.float32) * s
+    w = unpack_grid(qt).astype(jnp.float32) * s
     out = x.astype(jnp.float32) @ w
     if qt.mins is not None:
         # sum_k x[k] * m[g(k), n] = (per-group sums of x) @ mins
@@ -238,6 +275,37 @@ def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, nk):
     s = s_ref[:]
     w = qs * jnp.repeat(s, group, axis=0) + jnp.repeat(m_ref[:], group, axis=0)
     out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def _qmm_pack4_kernel(
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp
+):
+    """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
+    k + K_pad/2 (high nibble); the two K-halves dequantize independently
+    and accumulate into the same output tile — no nibble interleave
+    relayout is ever needed. Halves weight HBM traffic vs the int8 grid."""
+    if len(rest) == 3:
+        m_lo_ref, m_hi_ref, out_ref = rest
+    else:
+        m_lo_ref = m_hi_ref = None
+        (out_ref,) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    b = qs_ref[:].astype(jnp.int32)
+    lo = ((b & 0xF) - zp).astype(jnp.float32)
+    hi = ((b >> 4) - zp).astype(jnp.float32)
+    w_lo = lo * jnp.repeat(s_lo_ref[:], group, axis=0)
+    w_hi = hi * jnp.repeat(s_hi_ref[:], group, axis=0)
+    if m_lo_ref is not None:
+        w_lo = w_lo + jnp.repeat(m_lo_ref[:], group, axis=0)
+        w_hi = w_hi + jnp.repeat(m_hi_ref[:], group, axis=0)
+    acc = jnp.dot(x_lo_ref[:], w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi_ref[:], w_hi, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
 
 
 try:  # pallas imports fail gracefully on CPU-only builds
@@ -287,9 +355,16 @@ def _load_disk_cache() -> None:
 
         with open(_TILE_CACHE_PATH) as f:
             for k, v in json.load(f).items():
-                kp, npad, g, has_m, mp = k.split(",")
+                kp, npad, g, has_m, mp, packed = k.split(",")
                 _TILE_CACHE[
-                    (int(kp), int(npad), int(g), has_m == "True", int(mp))
+                    (
+                        int(kp),
+                        int(npad),
+                        int(g),
+                        has_m == "True",
+                        int(mp),
+                        packed == "True",
+                    )
                 ] = tuple(v)
     except Exception:
         pass
@@ -313,24 +388,47 @@ _load_disk_cache()
 
 
 def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
-    mp, kp = x.shape
-    npad = qt.qs.shape[1]
-    nk, nn = kp // tk, npad // tn
+    """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
+    4-bit tensors, where each covers two real K rows)."""
+    mp = x.shape[0]
+    rows, npad = qt.qs.shape
+    nk, nn = rows // tk, npad // tn
     g = qt.group
+    has_mins = qt.mins is not None
 
-    kernel = _qmm_kernel if qt.mins is None else _qmm_min_kernel
-    in_specs = [
-        pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
-        pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
-        pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # scales
-    ]
-    args = [x, qt.qs, qt.scales]
-    if qt.mins is not None:
-        in_specs.append(pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)))
-        args.append(qt.mins)
+    if qt.packed:
+        kernel = functools.partial(_qmm_pack4_kernel, group=g, zp=qt.zp)
+        in_specs = [
+            pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
+            pl.BlockSpec((mp, tk), lambda i, j: (0, j + nk)),  # x high half
+            pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # packed qs
+            pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # s low
+            pl.BlockSpec((tk // g, tn), lambda i, j: (j + nk, i)),  # s high
+        ]
+        args = [x, x, qt.qs, qt.scales, qt.scales]
+        if has_mins:
+            in_specs += [
+                pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),
+                pl.BlockSpec((tk // g, tn), lambda i, j: (j + nk, i)),
+            ]
+            args += [qt.mins, qt.mins]
+        kp = rows * 2
+    else:
+        kern = _qmm_kernel if not has_mins else _qmm_min_kernel
+        kernel = functools.partial(kern, group=g, nk=nk)
+        in_specs = [
+            pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
+            pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
+            pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # scales
+        ]
+        args = [x, qt.qs, qt.scales]
+        if has_mins:
+            in_specs.append(pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)))
+            args.append(qt.mins)
+        kp = rows
 
     return pl.pallas_call(
-        functools.partial(kernel, group=g, nk=nk),
+        kernel,
         grid=(nn, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((mp, tn), lambda i, j: (0, i)),
@@ -338,16 +436,16 @@ def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * kp * npad,
-            bytes_accessed=kp * npad + kp // g * npad * 4 + mp * kp * 4,
+            bytes_accessed=rows * npad + kp // g * npad * 4 + mp * kp * 4,
             transcendentals=0,
         ),
     )(*args)
 
 
 def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
-    mp, kp = x.shape
-    npad = qt.qs.shape[1]
-    key = (kp, npad, qt.group, qt.mins is not None, mp)
+    mp = x.shape[0]
+    kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
+    key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
     if key in _TILE_CACHE:
         return _TILE_CACHE[key]
     cands = _tile_candidates(kp, npad)
@@ -381,14 +479,15 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
 
 def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
     k, n = qt.shape
-    kp, npad = qt.qs.shape
+    rows, npad = qt.qs.shape
+    kp = rows * 2 if qt.packed else rows
     m = x.shape[0]
     mp = _round_up(m, _SUBLANE)
     x = x.astype(jnp.float32)
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
-        tk, tn = _tile_candidates(kp, npad)[0]
+        tk, tn = _tile_candidates(rows, npad)[0]
     else:
         tk, tn = _pick_tiles(x, qt)
     out = _qmm_pallas_tiled(x, qt, tk, tn, interpret=interpret)
@@ -414,11 +513,12 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
         for m in batch_sizes:
             mp = _round_up(m, _SUBLANE)
             kp, npad = qt.qs.shape
-            key = (kp, npad, qt.group, qt.mins is not None, mp)
+            key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
             if key in seen or key in _TILE_CACHE:
                 continue
             seen.add(key)
-            x = jnp.zeros((mp, kp), jnp.float32)
+            kr = kp * 2 if qt.packed else kp
+            x = jnp.zeros((mp, kr), jnp.float32)
             _pick_tiles(x, qt)
 
 

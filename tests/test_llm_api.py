@@ -157,3 +157,40 @@ def test_missing_model_type(tmp_path):
 def test_missing_file():
     with pytest.raises(ValueError, match="doesn't exist"):
         LLM("/nonexistent/model.bin", model_type="gpt2")
+
+
+def test_session_save_load(tmp_path):
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=9)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    prompt_tokens = llm.tokenize("hello world")
+    llm.eval(prompt_tokens)
+    before = np.array(llm.logits)
+    session = str(tmp_path / "s.npz")
+    llm.save_session(session)
+
+    llm2 = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    restored = llm2.load_session(session)
+    assert restored == prompt_tokens
+    np.testing.assert_allclose(llm2.logits, before, atol=1e-6)
+    # continuing from the restored KV matches continuing from the original
+    llm.eval([7])
+    llm2.eval([7])
+    np.testing.assert_allclose(llm2.logits, llm.logits, atol=1e-5)
+
+
+def test_timings_counters(tmp_path):
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=9)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    llm("ab", max_new_tokens=3, seed=1)
+    t = llm._engine.timings()
+    assert t["n_p_eval"] >= 2
+    assert t["n_eval"] >= 2
+    assert t["t_p_eval_ms"] > 0
