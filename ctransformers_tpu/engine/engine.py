@@ -303,3 +303,37 @@ def _engine_print_timings(self) -> None:
 
 Engine.timings = _engine_timings
 Engine.print_timings = _engine_print_timings
+
+
+def _engine_eval_all(self, tokens, n_past: Optional[int] = None) -> np.ndarray:
+    """Full-logits eval: (T, V) logits for every input position (the
+    reference's logits_all mode, llama.h:144). Used by the perplexity
+    harness; chunked like eval() so memory stays bounded."""
+    if n_past is None:
+        n_past = self.n_past
+    tokens = list(tokens)
+    spec = self.spec
+    n_past = max(0, min(n_past, spec.n_ctx - len(tokens)))
+    outs = []
+    pos = 0
+    for size in self._chunks(len(tokens), spec.n_ctx):
+        chunk = np.asarray(tokens[pos : pos + size], np.int32).reshape(1, size)
+        chunk = np.broadcast_to(chunk, (self.batch, size))
+        key = ("all", size)
+        if key not in self._steps:
+            def fn(params, toks, np_, kv, _spec=spec):
+                return forward(_spec, params, toks, np_, kv, all_logits=True)
+
+            self._steps[key] = jax.jit(fn, donate_argnums=(3,))
+        logits, hidden, self.kv = self._steps[key](
+            self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
+        )
+        outs.append(np.array(logits[0], np.float32))
+        pos += size
+    self.logits = outs[-1][-1].copy()
+    self.hidden = np.array(hidden[0], np.float32)
+    self.n_past = n_past + len(tokens)
+    return np.concatenate(outs, axis=0)
+
+
+Engine.eval_all = _engine_eval_all

@@ -159,8 +159,11 @@ def forward(
     tokens: jnp.ndarray,  # (B, T) int32
     n_past: jnp.ndarray,  # scalar int32
     kv: KVCache,
+    all_logits: bool = False,  # static: logits for every position (ppl eval)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
-    """Returns (last-token logits (B, V), last hidden state (B, D), new kv)."""
+    """Returns (last-token logits (B, V), last hidden state (B, D), new kv);
+    with all_logits=True the first output is (B, T, V) (the reference's
+    logits_all / llama_eval_internal full-logits mode)."""
     b, t = tokens.shape
     x = params["wte"][tokens]  # (B, T, D)
     if spec.learned_pos:
@@ -207,7 +210,186 @@ def forward(
 
     last = x[:, -1, :]  # (B, D)
     head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
-    logits = mm(last, head)  # (B, V)
+    logits = mm(x if all_logits else last, head)
     if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
+        logits = logits + params["lm_head_b"]
+    return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))
+
+
+# ---------------------------------------------------------------------------
+# Batched serving step: every batch slot sits at its own position. This is
+# the decode step of the continuous-batching scheduler (no reference
+# counterpart — the reference is single-sequence, SURVEY.md section 2.3).
+# ---------------------------------------------------------------------------
+
+
+def _attention_batched(
+    spec: ArchSpec,
+    layer: Params,
+    x: jnp.ndarray,  # (B, T, D) normed input
+    n_past: jnp.ndarray,  # (B,) int32 per-slot positions
+    k_cache: jnp.ndarray,  # (B, n_ctx, Hkv, dh)
+    v_cache: jnp.ndarray,
+    angles: Optional[jnp.ndarray],  # (B, T, dh//2) per-slot rope angles
+    active: jnp.ndarray,  # (B,) bool — inactive slots don't write KV
+):
+    b, t, d = x.shape
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+
+    q = mm(x, layer["wq"])
+    k = mm(x, layer["wk"])
+    v = mm(x, layer["wv"])
+    if layer.get("bq") is not None:
+        q = q + layer["bq"]
+    if layer.get("bk") is not None:
+        k = k + layer["bk"]
+    if layer.get("bv") is not None:
+        v = v + layer["bv"]
+    if spec.clip_qkv > 0:
+        q = jnp.clip(q, -spec.clip_qkv, spec.clip_qkv)
+        k = jnp.clip(k, -spec.clip_qkv, spec.clip_qkv)
+        v = jnp.clip(v, -spec.clip_qkv, spec.clip_qkv)
+
+    q = q.reshape(b, t, h, dh)
+    k = k.reshape(b, t, hkv, dh)
+    v = v.reshape(b, t, hkv, dh)
+
+    if spec.rope_mode == "interleaved":
+        q = _rope_i_b(q, angles)
+        k = _rope_i_b(k, angles)
+    elif spec.rope_mode == "neox":
+        q = _rope_n_b(q, angles, spec.n_rot)
+        k = _rope_n_b(k, angles, spec.n_rot)
+
+    # per-slot cache write; inactive slots write their current content back
+    def upd(cache, new, off, act):
+        cur = jax.lax.dynamic_slice(cache, (off, 0, 0), new.shape)
+        new = jnp.where(act, new, cur)
+        return jax.lax.dynamic_update_slice(cache, new, (off, 0, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), n_past, active)
+    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), n_past, active)
+
+    kf, vf = k_cache, v_cache
+    if hkv != h:
+        rep = h // hkv
+        kf = jnp.repeat(kf, rep, axis=2)
+        vf = jnp.repeat(vf, rep, axis=2)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(kf.dtype), kf,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if spec.alibi_bias_max > 0:
+        scores = scores + alibi_bias(h, spec.alibi_bias_max, spec.n_ctx)[None]
+
+    qpos = n_past[:, None, None] + jnp.arange(t)[None, :, None]  # (B, T, 1)
+    kpos = jnp.arange(spec.n_ctx)[None, None, :]
+    mask = kpos <= qpos  # (B, T, S)
+    scores = jnp.where(mask[:, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(vf.dtype), vf,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32).reshape(b, t, h * dh)
+    out = mm(ctx, layer["wo"])
+    if layer.get("bo") is not None:
+        out = out + layer["bo"]
+    return out, k_cache, v_cache
+
+
+def _rope_i_b(x, angles):
+    """Batched interleaved rope: angles (B, T, dh//2)."""
+    b, t, h, d = x.shape
+    x2 = x.reshape(b, t, h, d // 2, 2)
+    x0, x1 = x2[..., 0], x2[..., 1]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    y0 = x0 * cos - x1 * sin
+    y1 = x0 * sin + x1 * cos
+    return jnp.stack([y0, y1], axis=-1).reshape(b, t, h, d)
+
+
+def _rope_n_b(x, angles, n_dims):
+    """Batched neox rope: angles (B, T, dh//2)."""
+    b, t, h, d = x.shape
+    n_blocks = d // n_dims
+    rot = n_blocks * n_dims
+    xr = x[..., :rot].reshape(b, t, h, n_blocks, 2, n_dims // 2)
+    x0, x1 = xr[..., 0, :], xr[..., 1, :]
+    a = angles[:, :, : n_blocks * (n_dims // 2)].reshape(
+        b, t, n_blocks, n_dims // 2
+    )
+    cos = jnp.cos(a)[:, :, None, :, :]
+    sin = jnp.sin(a)[:, :, None, :, :]
+    y0 = x0 * cos - x1 * sin
+    y1 = x0 * sin + x1 * cos
+    yr = jnp.stack([y0, y1], axis=-2).reshape(b, t, h, rot)
+    if rot < d:
+        yr = jnp.concatenate([yr, x[..., rot:]], axis=-1)
+    return yr
+
+
+def forward_batched(
+    spec: ArchSpec,
+    params: Params,
+    tokens: jnp.ndarray,  # (B, T) int32
+    n_past: jnp.ndarray,  # (B,) int32 per-slot positions
+    kv: KVCache,
+    active: Optional[jnp.ndarray] = None,  # (B,) bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Per-slot-position forward: every sequence in the batch is at its own
+    n_past. Returns (logits (B, V), hidden (B, D), kv)."""
+    b, t = tokens.shape
+    if active is None:
+        active = jnp.ones((b,), bool)
+    x = params["wte"][tokens]
+    positions = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
+    if spec.learned_pos:
+        x = x + params["wpe"][jnp.clip(positions, 0, spec.n_ctx - 1)]
+
+    angles = None
+    if spec.rope_mode != "none":
+        from ..ops.rope import rope_angles
+
+        flat = rope_angles(
+            positions.reshape(-1), spec.head_dim,
+            spec.n_rot or spec.head_dim, spec.rope_base, spec.rope_scale,
+        )
+        angles = flat.reshape(b, t, -1)
+
+    new_k, new_v = [], []
+    for il, layer in enumerate(params["layers"]):
+        ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+        attn_out, k_c, v_c = _attention_batched(
+            spec, layer, ln1, n_past, kv.k[il], kv.v[il], angles, active
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+        if spec.parallel_residual:
+            if spec.shared_parallel_ln or "ln2_g" not in layer:
+                mlp_in = ln1
+            else:
+                mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+            ff = mm(_act(spec, layer, mlp_in), layer["w_down"])
+            if layer.get("b_down") is not None:
+                ff = ff + layer["b_down"]
+            x = x + attn_out + ff
+        else:
+            x = x + attn_out
+            ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+            ff = mm(_act(spec, layer, ln2), layer["w_down"])
+            if layer.get("b_down") is not None:
+                ff = ff + layer["b_down"]
+            x = x + ff
+
+    if spec.final_norm:
+        x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
+    last = x[:, -1, :]
+    head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+    logits = mm(last, head)
+    if params.get("lm_head_b") is not None:
         logits = logits + params["lm_head_b"]
     return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))

@@ -1,0 +1,115 @@
+"""Continuous batching scheduler tests: batched decode must match the
+single-sequence engine exactly, and mid-flight admission must work."""
+
+import numpy as np
+import pytest
+
+from ctransformers_tpu.engine.engine import Engine
+from ctransformers_tpu.models.registry import load_model
+from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
+
+from .fixtures import build_gpt2, build_llama_gguf
+
+
+def _greedy_single(bundle, tokens, n):
+    eng = Engine(bundle.spec, bundle.params)
+    eng.eval(tokens)
+    out = []
+    for _ in range(n):
+        t = int(np.argmax(eng.logits))
+        out.append(t)
+        eng.eval([t])
+    return out
+
+
+@pytest.mark.parametrize("builder,mtype", [(build_gpt2, "gpt2")])
+def test_batched_greedy_matches_single(tmp_path, builder, mtype):
+    path = str(tmp_path / "m.bin")
+    builder(path, seed=41)
+    b = load_model(path, mtype)
+
+    prompts = [[5, 9, 2], [7, 1, 30, 8], [11]]
+    expected = [_greedy_single(b, p, 6) for p in prompts]
+
+    sched = BatchScheduler(b.spec, b.params, batch_slots=4)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=6, sampler="greedy"))
+        for p in prompts
+    ]
+    results = sched.run()
+    for uid, exp in zip(uids, expected):
+        assert results[uid] == exp, (uid, results[uid], exp)
+
+
+def test_batched_llama_rope_matches_single(tmp_path):
+    path = str(tmp_path / "m.gguf")
+    build_llama_gguf(path, seed=42)
+    b = load_model(path, "gguf")
+    prompts = [[1, 292, 263], [1, 313, 273, 307]]
+    expected = [_greedy_single(b, p, 5) for p in prompts]
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=5, sampler="greedy"))
+        for p in prompts
+    ]
+    results = sched.run()
+    for uid, exp in zip(uids, expected):
+        assert results[uid] == exp
+
+
+def test_midflight_admission(tmp_path):
+    """A request submitted while others are decoding joins without
+    corrupting them (the continuous part of continuous batching)."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=43)
+    b = load_model(path, "gpt2")
+
+    p1, p2 = [5, 9, 2], [7, 1, 30]
+    exp1 = _greedy_single(b, p1, 6)
+    exp2 = _greedy_single(b, p2, 4)
+
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    u1 = sched.submit(Request(tokens=p1, max_new_tokens=6, sampler="greedy"))
+    sched.step()
+    sched.step()  # u1 is mid-decode
+    u2 = sched.submit(Request(tokens=p2, max_new_tokens=4, sampler="greedy"))
+    results = sched.run()
+    assert results[u1] == exp1
+    assert results[u2] == exp2
+
+
+def test_more_requests_than_slots(tmp_path):
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=44)
+    b = load_model(path, "gpt2")
+    prompts = [[i + 1, i + 2] for i in range(5)]
+    expected = [_greedy_single(b, p, 3) for p in prompts]
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=3, sampler="greedy"))
+        for p in prompts
+    ]
+    results = sched.run()
+    for uid, exp in zip(uids, expected):
+        assert results[uid] == exp
+
+
+def test_eos_stops_sequence(tmp_path):
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=45)
+    b = load_model(path, "gpt2")
+    # pick an eos that appears later in the greedy continuation but is NOT
+    # the first token (greedy outputs often repeat)
+    full = _greedy_single(b, [5, 9], 8)
+    stop_at = next(j for j in range(1, len(full)) if full[j] != full[0])
+    sched = BatchScheduler(b.spec, b.params, batch_slots=1)
+    uid = sched.submit(
+        Request(
+            tokens=[5, 9],
+            max_new_tokens=10,
+            sampler="greedy",
+            eos_token_id=full[stop_at],
+        )
+    )
+    results = sched.run()
+    assert results[uid] == full[:stop_at]
