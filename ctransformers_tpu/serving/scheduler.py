@@ -117,17 +117,19 @@ class BatchScheduler:
             toks
         ) >= cap else toks
         pos = 0
-        n_past = np.zeros(self.slots, np.int32)
-        active = np.zeros(self.slots, bool)
-        active[seq.slot] = True
         # chunk sizes mirror Engine._chunks: log2 many compiled shapes
         from ..engine.engine import Engine
 
         for size in Engine._chunks(len(toks), cap):
+            # NOTE: on the CPU backend jnp.asarray aliases numpy buffers
+            # zero-copy, and dispatch is async — every call gets FRESH
+            # arrays, never a mutated shared one (that was a real race)
             chunk_tokens = np.zeros((self.slots, size), np.int32)
             chunk_tokens[seq.slot] = toks[pos : pos + size]
-            n_past[:] = self.n_past
+            n_past = self.n_past.copy()
             n_past[seq.slot] = pos
+            active = np.zeros(self.slots, bool)
+            active[seq.slot] = True
             logits, _, self.kv = self._step_fn(
                 self.params,
                 jnp.asarray(chunk_tokens),
@@ -176,7 +178,7 @@ class BatchScheduler:
         logits, _, self.kv = self._step_fn(
             self.params,
             jnp.asarray(tokens),
-            jnp.asarray(self.n_past),
+            jnp.asarray(self.n_past.copy()),
             self.kv,
             jnp.asarray(active),
         )
