@@ -181,3 +181,57 @@ def sample_device(
         l = jnp.where(l < thr, -jnp.inf, l)
 
     return jax.random.categorical(key, l).astype(jnp.int32)
+
+
+def sample_extended(
+    logits: np.ndarray,
+    *,
+    top_k: int = 40,
+    top_p: float = 0.95,
+    temperature: float = 0.8,
+    repetition_penalty: float = 1.1,
+    last_tokens: Sequence[int] = (),
+    tfs_z: float = 1.0,
+    typical_p: float = 1.0,
+    frequency_penalty: float = 0.0,
+    presence_penalty: float = 0.0,
+    mirostat: int = 0,
+    mirostat_tau: float = 5.0,
+    mirostat_eta: float = 0.1,
+    seed: int = -1,
+    rng: Optional[np.random.RandomState] = None,
+    mirostat_state=None,
+) -> int:
+    """Extended sampling chain (llama.cpp examples/common.cpp ordering):
+    repetition + frequency/presence penalties -> [greedy | mirostat v1/v2 |
+    top-k -> tail-free -> typical -> top-p -> temperature -> draw]."""
+    from . import sampler_suite as ss
+
+    if rng is None:
+        rng = np.random.RandomState(_resolve_seed(seed))
+    c = ss.Candidates.from_logits(logits)
+    ss.repetition_penalty(c, last_tokens, repetition_penalty)
+    ss.frequency_and_presence_penalties(
+        c, last_tokens, frequency_penalty, presence_penalty
+    )
+    if temperature <= 0:
+        return ss.greedy(c)
+    if mirostat == 1:
+        ss.temperature(c, temperature)
+        if mirostat_state is None:
+            mirostat_state = ss.MirostatState.create(mirostat_tau)
+        return ss.mirostat(
+            c, rng, mirostat_state, mirostat_tau, mirostat_eta,
+            n_vocab=logits.shape[-1],
+        )
+    if mirostat == 2:
+        ss.temperature(c, temperature)
+        if mirostat_state is None:
+            mirostat_state = ss.MirostatState.create(mirostat_tau)
+        return ss.mirostat_v2(c, rng, mirostat_state, mirostat_tau, mirostat_eta)
+    ss.top_k(c, top_k if top_k > 0 else logits.shape[-1], 1)
+    ss.tail_free(c, tfs_z, 1)
+    ss.typical(c, typical_p, 1)
+    ss.top_p(c, top_p, 1)
+    ss.temperature(c, temperature)
+    return ss.sample_token(c, rng)

@@ -1,0 +1,147 @@
+"""ctypes binding for the native repack runtime (native/repack.cc).
+
+Loads native/libctrepack.so when present (`make -C native`); every entry
+point has a numpy fallback (formats/quants.py), so the native library is a
+load-time accelerator, not a requirement — mirroring how the reference
+ships precompiled binaries with a pure dispatch layer (ctransformers/lib.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.environ.get(
+    "CT_NATIVE_LIB",
+    str(Path(__file__).resolve().parent.parent.parent / "native" / "libctrepack.so"),
+)
+
+_lib = None
+_checked = False
+
+
+def _load():
+    global _lib, _checked
+    if _checked:
+        return _lib
+    _checked = True
+    if os.environ.get("CT_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ct_type_info.argtypes = [ctypes.c_int] + [
+        ctypes.POINTER(ctypes.c_int)
+    ] * 4
+    lib.ct_type_info.restype = ctypes.c_int
+    lib.ct_repack.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int,
+    ]
+    lib.ct_repack.restype = ctypes.c_int
+    lib.ct_pack4.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_int,
+    ]
+    lib.ct_pack4.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(silent: bool = True) -> bool:
+    """Build the native library with `make -C native`; returns success."""
+    import subprocess
+
+    native_dir = Path(_LIB_PATH).parent
+    if not (native_dir / "Makefile").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            check=True,
+            capture_output=silent,
+        )
+    except Exception:
+        return False
+    global _checked
+    _checked = False  # re-probe
+    return available()
+
+
+def native_repack(
+    data: np.ndarray, ggml_type: int, rows: int, cols: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], int]]:
+    """(q (cols,rows) int8, s (cols/g,rows) f32, m|None, group) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    bs = ctypes.c_int()
+    ts = ctypes.c_int()
+    group = ctypes.c_int()
+    has_min = ctypes.c_int()
+    if lib.ct_type_info(
+        int(ggml_type),
+        ctypes.byref(bs),
+        ctypes.byref(ts),
+        ctypes.byref(group),
+        ctypes.byref(has_min),
+    ):
+        return None
+    data = np.ascontiguousarray(np.frombuffer(data, np.uint8, count=rows * (cols // bs.value) * ts.value) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8).reshape(-1))
+    g = group.value
+    q = np.empty((cols, rows), np.int8)
+    s = np.empty((cols // g, rows), np.float32)
+    m = np.empty((cols // g, rows), np.float32) if has_min.value else None
+    rc = lib.ct_repack(
+        data.ctypes.data_as(ctypes.c_void_p),
+        int(ggml_type),
+        rows,
+        cols,
+        q.ctypes.data_as(ctypes.c_void_p),
+        s.ctypes.data_as(ctypes.c_void_p),
+        m.ctypes.data_as(ctypes.c_void_p) if m is not None else None,
+        0,
+    )
+    if rc:
+        return None
+    return q, s, m, g
+
+
+def native_pack4(q: np.ndarray, zp: int) -> Optional[np.ndarray]:
+    """q (kp, n) int8 -> (kp/2, n) uint8 nibble-packed, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int8)
+    kp, n = q.shape
+    out = np.empty((kp // 2, n), np.uint8)
+    rc = lib.ct_pack4(
+        q.ctypes.data_as(ctypes.c_void_p),
+        kp,
+        n,
+        int(zp),
+        out.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    if rc:
+        return None
+    return out

@@ -136,6 +136,7 @@ class LLM(_BaseLLM):
         self._model_path = model_path
         self._config = config
         self._context = []
+        self._mirostat_state = None
         if not Path(model_path).is_dir():
             raise ValueError(f"Model path '{model_path}' doesn't exist.")
         bundle = load_bundle(model_path, context_length=config.context_length)

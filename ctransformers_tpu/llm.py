@@ -120,6 +120,7 @@ class LLM:
         self._model_path = model_path
         self._config = config
         self._context: List[int] = []
+        self._mirostat_state = None
 
         if not Path(model_path).is_file():
             raise ValueError(f"Model path '{model_path}' doesn't exist.")
@@ -292,8 +293,20 @@ class LLM:
         repetition_penalty: Optional[float] = None,
         last_n_tokens: Optional[int] = None,
         seed: Optional[int] = None,
+        tfs_z: Optional[float] = None,
+        typical_p: Optional[float] = None,
+        frequency_penalty: Optional[float] = None,
+        presence_penalty: Optional[float] = None,
+        mirostat: Optional[int] = None,
+        mirostat_tau: Optional[float] = None,
+        mirostat_eta: Optional[float] = None,
     ) -> int:
         """Samples a token from the model.
+
+        The extended knobs (tfs_z, typical_p, frequency/presence penalties,
+        mirostat v1/v2) expose the reference engine's full sampler suite
+        (llama.cpp:3805-4332); when none is set, sampling follows the
+        classic gpt/llama chains exactly.
 
         Args:
             {params}
@@ -315,6 +328,41 @@ class LLM:
 
         if self._engine.logits is None:
             return self.eos_token_id
+
+        extended = any(
+            v is not None
+            for v in (
+                tfs_z,
+                typical_p,
+                frequency_penalty,
+                presence_penalty,
+                mirostat,
+            )
+        )
+        if extended:
+            from .engine import sampler_suite as ss
+
+            mirostat = int(get(mirostat, 0))
+            mirostat_tau = get(mirostat_tau, 5.0)
+            if mirostat and self._mirostat_state is None:
+                self._mirostat_state = ss.MirostatState.create(mirostat_tau)
+            return samplers.sample_extended(
+                self._engine.logits,
+                top_k=top_k,
+                top_p=top_p,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                last_tokens=last_tokens,
+                tfs_z=get(tfs_z, 1.0),
+                typical_p=get(typical_p, 1.0),
+                frequency_penalty=get(frequency_penalty, 0.0),
+                presence_penalty=get(presence_penalty, 0.0),
+                mirostat=mirostat,
+                mirostat_tau=mirostat_tau,
+                mirostat_eta=get(mirostat_eta, 0.1),
+                seed=seed,
+                mirostat_state=self._mirostat_state,
+            )
         return self._sample_fn(
             self._engine.logits,
             top_k=top_k,

@@ -117,9 +117,14 @@ def make_qtensor(
     packed = kind in _PACK4_ZP
     zp = _PACK4_ZP.get(kind, 0)
     if packed:
-        half = kp // 2
-        nib = (q.astype(np.int16) + zp).astype(np.uint8)
-        q = nib[:half] | (nib[half:] << 4)
+        from ..formats.native import native_pack4
+
+        qp = native_pack4(np.asarray(q, np.int8), zp)
+        if qp is None:
+            half = kp // 2
+            nib = (q.astype(np.int16) + zp).astype(np.uint8)
+            qp = nib[:half] | (nib[half:] << 4)
+        q = qp
     return QTensor(
         jnp.asarray(q, jnp.uint8 if packed else jnp.int8),
         jnp.asarray(s, jnp.float32),
@@ -139,8 +144,15 @@ def repack(data, t: GGMLType, rows: int, cols: int) -> QTensor:
 
     This is the load-time transpose: GGML stores weights (out, in) row-major
     (gpt2.cc:300-375); the TPU layout wants input features on sublanes.
+    Uses the native C++ runtime (native/repack.cc) when built.
     """
     t = GGMLType(t)
+    from ..formats.native import native_repack
+
+    nat = native_repack(data, int(t), rows, cols)
+    if nat is not None:
+        q, s, m, group = nat
+        return make_qtensor(q, s, m, t.name, group)
     n = rows * cols
     q, s, m, group = decompose(data, t, n)
     q = np.ascontiguousarray(q.reshape(rows, cols).T)  # (K=cols, N=rows)

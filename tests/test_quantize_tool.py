@@ -1,0 +1,69 @@
+"""Re-quantization tool: output files load in BOTH engines and track the
+f32 original's logits."""
+
+import numpy as np
+import pytest
+
+from ctransformers_tpu.engine.engine import Engine
+from ctransformers_tpu.formats.quants import GGMLType
+from ctransformers_tpu.models.registry import load_model
+from ctransformers_tpu.tools.quantize import quantize_file
+
+from . import fixtures as fx
+
+
+def _logits(path, mtype, toks=(5, 9, 2)):
+    b = load_model(path, mtype)
+    eng = Engine(b.spec, b.params)
+    eng.eval(list(toks))
+    return np.array(eng.logits)
+
+
+def test_quantize_gguf_roundtrip(tmp_path):
+    src = str(tmp_path / "f32.gguf")
+    dst = str(tmp_path / "q.gguf")
+    fx.build_llama_gguf(src, n_embd=256, n_ff=256, seed=61)
+    decisions = quantize_file(src, dst, "q4_k")
+    assert decisions["blk.0.attn_q.weight"] == "Q4_K"
+    assert decisions["output.weight"] == "Q6_K"  # k-quant head policy
+    assert decisions["output_norm.weight"] == "F32"
+
+    base = _logits(src, "gguf")
+    quant = _logits(dst, "gguf")
+    assert np.corrcoef(base, quant)[0, 1] > 0.95  # Q4_K noise on random weights
+
+
+def test_quantized_gguf_loads_in_reference(tmp_path):
+    src = str(tmp_path / "f32.gguf")
+    dst = str(tmp_path / "q.gguf")
+    fx.build_llama_gguf(src, n_embd=256, n_ff=256, seed=62)
+    quantize_file(src, dst, "q8_0")
+    ref = fx.ref_llm(dst, "llama")
+    if ref is None:
+        pytest.skip("reference engine unavailable")
+    ref.eval([5, 9, 2])
+    ours = _logits(dst, "gguf")
+    # atol bounds reference-side activation quantization at 256-dim
+    np.testing.assert_allclose(
+        ours, np.array(list(ref.logits), np.float32), atol=0.15, rtol=0
+    )
+
+
+def test_quantize_legacy_gpt2(tmp_path):
+    src = str(tmp_path / "f32.bin")
+    dst = str(tmp_path / "q.bin")
+    fx.build_gpt2(src, seed=63)
+    decisions = quantize_file(src, dst, "q8_0", model_type="gpt2")
+    assert decisions["model/h0/attn/c_attn/w"] == "Q8_0"
+    assert decisions["model/ln_f/g"] == "F32"
+
+    base = _logits(src, "gpt2")
+    quant = _logits(dst, "gpt2")
+    assert np.corrcoef(base, quant)[0, 1] > 0.999
+
+    ref = fx.ref_llm(dst, "gpt2")
+    if ref is not None:
+        ref.eval([5, 9, 2])
+        np.testing.assert_allclose(
+            quant, np.array(list(ref.logits), np.float32), atol=0.05, rtol=0
+        )

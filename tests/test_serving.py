@@ -113,3 +113,41 @@ def test_eos_stops_sequence(tmp_path):
     )
     results = sched.run()
     assert results[uid] == full[:stop_at]
+
+
+def test_beam_search_beats_greedy(tmp_path):
+    from ctransformers_tpu.serving.beam import beam_search
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=46)
+    b = load_model(path, "gpt2")
+
+    prompt = [5, 9, 2]
+    n = 6
+
+    # greedy logprob for comparison
+    eng = Engine(b.spec, b.params)
+    eng.eval(prompt)
+    greedy, glp = [], 0.0
+    for _ in range(n):
+        lp = eng.logits - np.log(np.exp(eng.logits - eng.logits.max()).sum()) - eng.logits.max()
+        t = int(np.argmax(eng.logits))
+        glp += float(lp[t])
+        greedy.append(t)
+        eng.eval([t])
+
+    beams = beam_search(
+        b.spec, b.params, prompt, n_beams=4, n_predict=n,
+        length_normalize=False,
+    )
+    assert len(beams) == 4
+    assert all(len(bm.tokens) == n for bm in beams)
+    # beam-1 search must equal greedy; beam-4 must be at least as good
+    beams1 = beam_search(
+        b.spec, b.params, prompt, n_beams=1, n_predict=n,
+        length_normalize=False,
+    )
+    assert beams1[0].tokens == greedy
+    assert beams[0].logprob >= glp - 1e-4
+    # scores sorted best-first
+    assert beams[0].logprob >= beams[-1].logprob
