@@ -41,8 +41,15 @@ class Engine:
         batch_size: int = 1,
         kv_dtype=jnp.float32,
         param_dtype=jnp.float32,
+        mesh=None,
     ):
+        """`mesh`: a ("data", "model") jax.sharding.Mesh for multi-chip
+        tensor parallelism (the reference's multi-GPU row split,
+        ggml-cuda.cu:5067-5121, re-expressed as NamedShardings; XLA emits
+        the ICI collectives). Quantized matmuls take the partitionable XLA
+        path under a mesh (pallas_call is opaque to the SPMD partitioner)."""
         self.spec = spec
+        self.mesh = mesh
 
         def place(a):
             if isinstance(a, qm.QTensor):
@@ -54,11 +61,20 @@ class Engine:
         self.params = jax.tree.map(
             place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
-        # pick Pallas tile sizes for the decode batch eagerly (jit can't time)
-        qm.autotune(self.params, batch_sizes=(batch_size,))
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.params = pmesh.shard_params(self.params, mesh)
+        else:
+            # pick Pallas tile sizes for the decode batch (jit can't time)
+            qm.autotune(self.params, batch_sizes=(batch_size,))
         self.batch = batch_size
         self.kv_dtype = kv_dtype
         self.kv = KVCache.create(spec, batch_size, kv_dtype)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.kv = pmesh.shard_kv(self.kv, spec, mesh)
         self.n_past = 0
         self.logits: Optional[np.ndarray] = None  # (V,) last-token logits
         self.hidden: Optional[np.ndarray] = None  # (D,) last hidden state
@@ -77,8 +93,12 @@ class Engine:
     def _step(self, t: int):
         if t not in self._steps:
             spec = self.spec
+            sharded = self.mesh is not None
 
             def fn(params, tokens, n_past, kv):
+                if sharded:
+                    with qm.force_jnp():
+                        return forward(spec, params, tokens, n_past, kv)
                 return forward(spec, params, tokens, n_past, kv)
 
             # donate the KV cache so XLA updates it in place
@@ -146,9 +166,17 @@ class Engine:
             return self._loops[key_]
         spec = self.spec
         top_k, top_p, temperature, repetition_penalty = cfg
+        sharded = self.mesh is not None
         from .sampler import sample_device
 
         def run(params, kv, logits, n_past, key, last):
+            import contextlib
+
+            ctx = qm.force_jnp() if sharded else contextlib.nullcontext()
+            with ctx:
+                return _run_inner(params, kv, logits, n_past, key, last)
+
+        def _run_inner(params, kv, logits, n_past, key, last):
             def body(carry, _):
                 kv, logits, n_past, key, last = carry
                 key, sub = jax.random.split(key)
@@ -321,7 +349,12 @@ def _engine_eval_all(self, tokens, n_past: Optional[int] = None) -> np.ndarray:
         chunk = np.broadcast_to(chunk, (self.batch, size))
         key = ("all", size)
         if key not in self._steps:
+            sharded = self.mesh is not None
+
             def fn(params, toks, np_, kv, _spec=spec):
+                if sharded:
+                    with qm.force_jnp():
+                        return forward(_spec, params, toks, np_, kv, all_logits=True)
                 return forward(_spec, params, toks, np_, kv, all_logits=True)
 
             self._steps[key] = jax.jit(fn, donate_argnums=(3,))

@@ -427,8 +427,13 @@ class LLM:
         batch_size: Optional[int] = None,
         threads: Optional[int] = None,
         reset: Optional[bool] = None,
+        grammar=None,
     ) -> Generator[int, None, None]:
         """Generates new tokens from a list of tokens.
+
+        `grammar` constrains sampling to a GBNF grammar (text or a
+        pre-built engine.grammar.Grammar) — the reference's
+        llama_sample_grammar path (llama.cpp:4085-4124).
 
         Args:
             tokens: The list of tokens to generate tokens from.
@@ -437,9 +442,19 @@ class LLM:
         Returns:
             The generated tokens.
         """
+        if grammar is not None and isinstance(grammar, str):
+            from .engine.grammar import Grammar
+
+            grammar = Grammar.from_gbnf(grammar)
+        detok = self._bundle.tokenizer.detokenize
         tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
         self.eval(tokens, batch_size=batch_size, threads=threads)
         while True:
+            if grammar is not None:
+                saved = self._engine.logits
+                self._engine.logits = grammar.filter_logits(
+                    saved, detok, self.eos_token_id
+                )
             token = self.sample(
                 top_k=top_k,
                 top_p=top_p,
@@ -448,6 +463,9 @@ class LLM:
                 last_n_tokens=last_n_tokens,
                 seed=seed,
             )
+            if grammar is not None:
+                self._engine.logits = saved
+                grammar.accept_token(token, detok, self.eos_token_id)
             self.eval([token], batch_size=batch_size, threads=threads)
             if self.is_eos_token(token):
                 break
@@ -468,6 +486,7 @@ class LLM:
         threads: Optional[int] = None,
         stop: Optional[Sequence[str]] = None,
         reset: Optional[bool] = None,
+        grammar=None,
     ) -> Generator[str, None, None]:
         config = self.config
         max_new_tokens = get(max_new_tokens, config.max_new_tokens)
@@ -492,6 +511,7 @@ class LLM:
             batch_size=batch_size,
             threads=threads,
             reset=reset,
+            grammar=grammar,
         ):
             # Handle incomplete UTF-8 multi-byte characters.
             incomplete += self.detokenize([token], decode=False)
@@ -545,6 +565,7 @@ class LLM:
         stop: Optional[Sequence[str]] = None,
         stream: Optional[bool] = None,
         reset: Optional[bool] = None,
+        grammar=None,
     ) -> Union[str, Generator[str, None, None]]:
         """Generates text from a prompt.
 
@@ -571,6 +592,7 @@ class LLM:
             threads=threads,
             stop=stop,
             reset=reset,
+            grammar=grammar,
         )
         if stream:
             return text

@@ -44,6 +44,8 @@ def _round_up(x: int, m: int) -> int:
 # per byte: byte (k, n) holds rows k and k + K_pad/2), halving weight HBM
 # traffic vs the int8 grid. zero-point 8 re-biases signed grids into [0,15].
 _PACK4_ZP = {"Q4_0": 8, "Q3_K": 8, "Q4_1": 0, "Q2_K": 0, "Q4_K": 0, "GPTQ4": 0}
+if os.environ.get("CT_NO_PACK4"):  # diagnostic escape hatch
+    _PACK4_ZP = {}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -231,7 +233,7 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     xm = x.reshape(-1, k)
     if qt.perm is not None:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
-    if _use_pallas() and xm.shape[0] <= PALLAS_MAX_M:
+    if _FORCE_JNP_DEPTH == 0 and _use_pallas() and xm.shape[0] <= PALLAS_MAX_M:
         out = _qmm_pallas(xm, qt)
     else:
         out = _qmm_jnp(xm, qt)
@@ -307,11 +309,15 @@ def _qmm_pack4_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    b = qs_ref[:].astype(jnp.int32)
-    lo = ((b & 0xF) - zp).astype(jnp.float32)
-    hi = ((b >> 4) - zp).astype(jnp.float32)
-    w_lo = lo * jnp.repeat(s_lo_ref[:], group, axis=0)
-    w_hi = hi * jnp.repeat(s_hi_ref[:], group, axis=0)
+    # unpack nibbles in f32: integer &/>> on TPU require an int32 relayout
+    # that runs ~20x slower than float VPU math; u8->f32 convert + floor
+    # arithmetic is exact for values < 256 and stays in the fast layout
+    b = qs_ref[:].astype(jnp.float32)
+    hi = jnp.floor(b * (1.0 / 16.0))
+    lo = b - hi * 16.0
+    zpf = jnp.float32(zp)
+    w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[:], group, axis=0)
+    w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[:], group, axis=0)
     if m_lo_ref is not None:
         w_lo = w_lo + jnp.repeat(m_lo_ref[:], group, axis=0)
         w_hi = w_hi + jnp.repeat(m_hi_ref[:], group, axis=0)
@@ -565,3 +571,22 @@ def repack_select_rows(data, t: GGMLType, rows: int, cols: int, row_groups):
             )
         )
     return out
+
+
+import contextlib
+
+_FORCE_JNP_DEPTH = 0
+
+
+@contextlib.contextmanager
+def force_jnp():
+    """Trace-time override: inside this context qmatmul always takes the
+    XLA (jnp) path. Used when tracing SPMD/pjit programs — pallas_call is
+    opaque to the partitioner, while the dequant+matmul HLO partitions
+    cleanly along the same row/column shardings as dense weights."""
+    global _FORCE_JNP_DEPTH
+    _FORCE_JNP_DEPTH += 1
+    try:
+        yield
+    finally:
+        _FORCE_JNP_DEPTH -= 1

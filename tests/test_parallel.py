@@ -57,3 +57,25 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_engine_with_mesh_matches_single_device():
+    """Engine(mesh=...): full serving path (eval + decode) on a TP mesh
+    matches the unsharded engine, including quantized weights."""
+    from ctransformers_tpu.engine.engine import Engine
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=5, quantize="q8_0")
+
+    ref = Engine(spec, params)
+    ref.eval([1, 2, 3])
+    ref_logits = np.array(ref.logits)
+    ref_toks = ref.decode(5, temperature=0.0, repetition_penalty=1.0)
+
+    mesh = pmesh.make_mesh(8, data=1)
+    eng = Engine(spec, params, mesh=mesh)
+    eng.eval([1, 2, 3])
+    np.testing.assert_allclose(eng.logits, ref_logits, atol=1e-4, rtol=1e-4)
+    toks = eng.decode(5, temperature=0.0, repetition_penalty=1.0)
+    assert toks == ref_toks
