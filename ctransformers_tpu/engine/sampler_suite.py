@@ -223,3 +223,20 @@ def mirostat_v2(
     observed = -np.log2(c.probs[x_idx])
     state.mu -= eta * (observed - tau)
     return x
+
+
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    m = x.max()
+    return x - (m + np.log(np.exp(x - m).sum()))
+
+
+def classifier_free_guidance(
+    c: Candidates, guidance_logits: np.ndarray, scale: float
+) -> None:
+    """llama_sample_classifier_free_guidance (llama.cpp:4139): blend the
+    log-distributions of the main and guidance contexts."""
+    assert not c.sorted, "CFG requires unsorted full-vocab candidates"
+    base = _log_softmax(c.logits.astype(np.float32))
+    guide = _log_softmax(np.asarray(guidance_logits, np.float32))
+    c.logits = (scale * (base - guide) + guide).astype(np.float32)
+    c.probs = None

@@ -127,6 +127,7 @@ class AutoModelForCausalLM:
         model_file: Optional[str] = None,
         config: Optional[AutoConfig] = None,
         lib: Optional[str] = None,
+        lora: Optional[str] = None,
         local_files_only: bool = False,
         revision: Optional[str] = None,
         hf: bool = False,
@@ -191,6 +192,7 @@ class AutoModelForCausalLM:
             model_type=model_type,
             config=config.config,
             lib=lib,
+            lora=lora,
         )
         if not hf:
             return llm

@@ -105,6 +105,7 @@ class LLM:
         *,
         config: Optional[Config] = None,
         lib: Optional[str] = None,
+        lora: Optional[str] = None,
     ):
         """Loads the language model from a local file.
 
@@ -113,6 +114,8 @@ class LLM:
             model_type: The model type.
             config: `Config` object.
             lib: Ignored (kept for API compatibility with the reference).
+            lora: Optional path to a ggla LoRA adapter (llama models;
+                reference llama_apply_lora_from_file, llama.cpp:5002-5277).
         """
         from .utils import is_gguf
 
@@ -136,6 +139,10 @@ class LLM:
         bundle = load_model(
             model_path, model_type, context_length=config.context_length
         )
+        if lora:
+            from .tools.lora import apply_lora
+
+            apply_lora(bundle.params, lora)
         self._init_from_bundle(bundle, model_type)
 
     def _init_from_bundle(self, bundle, model_type: str) -> None:

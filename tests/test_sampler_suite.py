@@ -109,3 +109,14 @@ def test_llm_sample_extended_path(tmp_path):
     assert 0 <= t1 < llm.vocab_size
     t2 = llm.sample(seed=3, tfs_z=0.95, typical_p=0.9, frequency_penalty=0.1)
     assert 0 <= t2 < llm.vocab_size
+
+
+def test_classifier_free_guidance():
+    base = np.asarray([1.0, 2.0, 3.0], np.float32)
+    guide = np.asarray([3.0, 2.0, 1.0], np.float32)
+    c = ss.Candidates.from_logits(base)
+    ss.classifier_free_guidance(c, guide, scale=2.0)
+    # scale=1 would reproduce base log-probs; scale=2 doubles the divergence
+    ls_b = base - np.log(np.exp(base).sum())
+    ls_g = guide - np.log(np.exp(guide).sum())
+    np.testing.assert_allclose(c.logits, 2.0 * (ls_b - ls_g) + ls_g, atol=1e-6)
