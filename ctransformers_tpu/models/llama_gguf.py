@@ -95,6 +95,14 @@ def _split_qkv(r: GGUFReader, name: str, sizes):
 
 def load_bundle(path: str, context_length: int = -1):
     from .registry import ModelBundle
+    from ..utils import is_gguf
+
+    if not is_gguf(path):
+        # pre-GGUF llama containers (GGML/GGMF/GGJT) — the reference's
+        # llama-ggml.cpp path (dispatched at llm.cc:49-53)
+        from . import llama_ggjt
+
+        return llama_ggjt.load_bundle(path, context_length)
 
     r = GGUFReader(path)
     arch = _kv(r, "general.architecture", required=True)

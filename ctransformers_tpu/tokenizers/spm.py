@@ -96,3 +96,78 @@ class SPMTokenizer:
 
     def detokenize(self, token_id: int) -> bytes:
         return self.vocab.detokenize(token_id)
+
+
+class SPMTokenizerLegacy(SPMTokenizer):
+    """Pre-GGUF llama tokenizer (llama-ggml.cpp:1967-2070): same bigram
+    merge, but NO leading-space prepend, NO U+2581 escaping (old files
+    store pieces in display form with real spaces), and byte fallback
+    looks up raw single-byte pieces instead of <0xXX> entries."""
+
+    def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
+        v = self.vocab
+        out: List[int] = []
+        if add_bos_token and v.bos_id >= 0:
+            out.append(v.bos_id)
+        if not text:
+            return out
+        saved = text
+        # reuse the parent merge loop by bypassing its escaping: call the
+        # core directly on raw text
+        toks = self._tokenize_raw(saved)
+        out.extend(toks)
+        return out
+
+    def _tokenize_raw(self, raw: str) -> List[int]:
+        v = self.vocab
+        out: List[int] = []
+        syms: List[str] = list(raw)
+        n = len(syms)
+        prev = list(range(-1, n - 1))
+        nxt = [i + 1 if i + 1 < n else -1 for i in range(n)]
+        heap: list = []
+        counter = 0
+
+        import heapq
+
+        def try_add(left: int, right: int) -> None:
+            nonlocal counter
+            if left == -1 or right == -1:
+                return
+            t = syms[left] + syms[right]
+            tid = v.piece_to_id.get(t)
+            if tid is None or tid >= len(v):
+                return
+            heapq.heappush(heap, (-v.scores[tid], left, counter, right, len(t)))
+            counter += 1
+
+        for i in range(1, n):
+            try_add(i - 1, i)
+        while heap:
+            _, left, _, right, size = heapq.heappop(heap)
+            if not syms[left] or not syms[right]:
+                continue
+            if len(syms[left]) + len(syms[right]) != size:
+                continue
+            syms[left] += syms[right]
+            syms[right] = ""
+            nxt[left] = nxt[right]
+            if nxt[right] >= 0:
+                prev[nxt[right]] = left
+            try_add(prev[left], left)
+            try_add(left, nxt[left])
+
+        i = 0
+        while i != -1:
+            t = syms[i]
+            tid = v.piece_to_id.get(t)
+            if tid is not None:
+                out.append(tid)
+            else:
+                # raw single-byte fallback (llama-ggml.cpp:2030-2036)
+                for ch in t:
+                    bid = v.piece_to_id.get(ch)
+                    if bid is not None:
+                        out.append(bid)
+            i = nxt[i]
+        return out

@@ -514,3 +514,60 @@ def build_starcoder(
             wt(f"{p}/mlp/c_fc/b", _w(rng, 4 * n_embd), GGMLType.F32)
             wt(f"{p}/mlp/c_proj/w", _w(rng, n_embd, 4 * n_embd), wtype)
             wt(f"{p}/mlp/c_proj/b", _w(rng, n_embd), GGMLType.F32)
+
+
+def build_llama_ggjt(
+    path, n_embd=32, n_head=4, n_layer=2, n_mult=32,
+    wtype=GGMLType.F32, seed=0, version=3,
+):
+    """Write a tiny pre-GGUF GGJT llama (llama-ggml.cpp:474-612 layout)."""
+    import struct as _s
+
+    rng = np.random.RandomState(seed)
+    # old-style vocab: display-form pieces (real spaces) + raw ASCII byte
+    # entries for the legacy byte fallback
+    pieces = ["<unk>", "<s>", "</s>"] + [chr(b) for b in range(32, 127)]
+    words = [" hello", " world", "he", "ll", "lo", "or", "ld", " the",
+             "the", "ing", "er", " a", " is", " cat"]
+    pieces += words
+    scores = [0.0] * 3 + [-100.0] * 95 + [-1.0 - i / 10 for i in range(len(words))]
+    n_vocab = len(pieces)
+    n_ff = (2 * (4 * n_embd) // 3 + n_mult - 1) // n_mult * n_mult
+    ftype = {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.Q8_0: 7,
+             GGMLType.Q4_0: 2}[wtype]
+
+    with open(path, "wb") as f:
+        f.write(_s.pack("<II", 0x67676A74, version))  # 'ggjt'
+        for v in (n_vocab, n_embd, n_mult, n_head, n_layer,
+                  n_embd // n_head, ftype):
+            f.write(_s.pack("<I", v))
+        for p, s in zip(pieces, scores):
+            b = p.encode("utf-8")
+            f.write(_s.pack("<I", len(b)))
+            f.write(b)
+            f.write(_s.pack("<f", s))
+
+        def wt(name, arr, t):
+            ne = tuple(reversed(arr.shape))
+            nb = name.encode("utf-8")
+            f.write(_s.pack("<III", len(ne), len(nb), int(t)))
+            for d in ne:
+                f.write(_s.pack("<I", d))
+            f.write(nb)
+            f.write(b"\x00" * (-f.tell() & 31))  # GGJT 32-byte alignment
+            f.write(bytes(_enc(arr, t)))
+
+        wt("tok_embeddings.weight", _w(rng, n_vocab, n_embd), wtype)
+        wt("norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+        wt("output.weight", _w(rng, n_vocab, n_embd), wtype)
+        for i in range(n_layer):
+            p = f"layers.{i}"
+            wt(f"{p}.attention_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.attention.wq.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.attention.wk.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.attention.wv.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.attention.wo.weight", _w(rng, n_embd, n_embd), wtype)
+            wt(f"{p}.ffn_norm.weight", _w(rng, n_embd) + 1.0, GGMLType.F32)
+            wt(f"{p}.feed_forward.w1.weight", _w(rng, n_ff, n_embd), wtype)
+            wt(f"{p}.feed_forward.w2.weight", _w(rng, n_embd, n_ff), wtype)
+            wt(f"{p}.feed_forward.w3.weight", _w(rng, n_ff, n_embd), wtype)

@@ -8,7 +8,7 @@ from ctransformers_tpu.engine.engine import Engine
 from ctransformers_tpu.formats.quants import GGMLType
 from ctransformers_tpu.models.llama_gguf import load_bundle
 
-from .fixtures import build_falcon_gguf, build_llama_gguf, ref_llm
+from .fixtures import build_falcon_gguf, build_llama_gguf, build_llama_ggjt, ref_llm
 
 TEXTS = [
     "hello world",
@@ -164,3 +164,37 @@ def test_llama_via_public_api(tmp_path):
     assert a == llm("hello", max_new_tokens=4, seed=3)
     assert isinstance(llm.embed("hello"), list)
     assert len(llm.embed("hello")) == llm._bundle.spec.n_embd
+
+
+# -- pre-GGUF (GGJT) llama ----------------------------------------------------
+
+
+def test_ggjt_load_metadata(tmp_path):
+    from ctransformers_tpu.models.llama_ggjt import detect_n_gqa
+
+    path = str(tmp_path / "old.bin")
+    build_llama_ggjt(path)
+    b = load_bundle(path)  # llama_gguf routes non-GGUF to the GGJT loader
+    assert b.spec.name == "llama"
+    assert b.spec.n_ctx == 512  # old-format default window
+    assert b.spec.n_ff == 96
+    assert detect_n_gqa("llama-2-70b.ggmlv3.q4_0.bin") == 8
+    assert detect_n_gqa("llama-2-7b.bin") == 1
+
+
+@pytest.mark.parametrize("wtype,atol", [(GGMLType.F32, 2e-3), (GGMLType.Q8_0, 0.05)])
+def test_ggjt_logit_parity(tmp_path, wtype, atol):
+    path = str(tmp_path / "old.bin")
+    build_llama_ggjt(path, wtype=wtype, seed=91)
+    ref = ref_llm(path, "llama")
+    if ref is None:
+        pytest.skip("reference engine unavailable")
+    b = load_bundle(path)
+    eng = Engine(b.spec, b.params)
+    toks = b.tokenizer.tokenize("hello world", add_bos_token=True)
+    assert toks == ref.tokenize("hello world")
+    ref.eval(toks)
+    eng.eval(toks)
+    rl = np.array(list(ref.logits), np.float32)
+    np.testing.assert_allclose(eng.logits, rl, atol=atol, rtol=0)
+    assert int(np.argmax(eng.logits)) == int(np.argmax(rl))
