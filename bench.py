@@ -76,4 +76,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # one retry with the packed-4-bit kernels disabled (diagnostic
+        # escape hatch): a Mosaic regression in the packed path must not
+        # zero the benchmark
+        if os.environ.get("CT_NO_PACK4"):
+            raise
+        print(f"# bench failed ({e!r}); retrying with CT_NO_PACK4=1", file=sys.stderr)
+        import subprocess
+
+        env = dict(os.environ, CT_NO_PACK4="1")
+        raise SystemExit(
+            subprocess.call([sys.executable, __file__], env=env)
+        )

@@ -370,3 +370,24 @@ def _engine_eval_all(self, tokens, n_past: Optional[int] = None) -> np.ndarray:
 
 
 Engine.eval_all = _engine_eval_all
+
+
+def _engine_profile(self, logdir: str):
+    """JAX profiler trace context (the reference's GGML_PERF / XProf
+    equivalent): `with engine.profile('/tmp/trace'): engine.eval(...)`."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    return _ctx()
+
+
+Engine.profile = _engine_profile

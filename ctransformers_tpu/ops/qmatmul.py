@@ -309,10 +309,12 @@ def _qmm_pack4_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # unpack nibbles in f32: integer &/>> on TPU require an int32 relayout
-    # that runs ~20x slower than float VPU math; u8->f32 convert + floor
-    # arithmetic is exact for values < 256 and stays in the fast layout
-    b = qs_ref[:].astype(jnp.float32)
+    # unpack nibbles in f32: integer &/>> on TPU lower to a slow int32
+    # relayout (~20x), and Mosaic has no u8->f32 cast. So: free bitcast to
+    # i8, the same fast i8->f32 convert the unpacked kernel uses, undo the
+    # sign wrap in f32, then floor arithmetic (exact below 256).
+    b = pltpu.bitcast(qs_ref[:], jnp.int8).astype(jnp.float32)
+    b = b + jnp.where(b < 0, 256.0, 0.0)
     hi = jnp.floor(b * (1.0 / 16.0))
     lo = b - hi * 16.0
     zpf = jnp.float32(zp)
@@ -342,15 +344,22 @@ def _tile_divisor(dim: int, cap: int) -> int:
     return min(t, dim)
 
 
-def _tile_candidates(kp: int, npad: int) -> list:
+def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
     """Candidate (TK, TN) tiles for the autotuner. Measured on v5e: large
-    tiles (few grid steps) are mandatory — (512, 256) tiles run 24x slower
-    than (4096, 1024) on a 4096x4096 Q8_0 (grid-step overhead dominates).
-    The optimum varies with shape/format, hence the tuner. The candidate
-    list is kept small: each compile costs ~10s through a remote-compile
-    tunnel, and the winners measured on v5e were always (2048|4096, 1024)."""
+    tiles (few grid steps) are mandatory for the int8 grid — (512, 256)
+    tiles run 24x slower than (4096, 1024) on a 4096x4096 Q8_0 (grid-step
+    overhead dominates). Packed tiles cover 2x the K rows and carry two
+    f32 dequant buffers, so their sweet spot is ~4x smaller ((256, 1024)
+    measured best; (2048, 1024) exceeds scoped VMEM). The candidate list
+    is kept small: each compile costs ~10s through a remote-compile
+    tunnel."""
+    caps = (
+        ((256, 1024), (512, 512), (512, 1024), (1024, 1024))
+        if packed
+        else ((1024, 1024), (2048, 1024), (4096, 1024))
+    )
     cands = []
-    for tk_cap, tn_cap in ((1024, 1024), (2048, 1024), (4096, 1024)):
+    for tk_cap, tn_cap in caps:
         tk = _tile_divisor(kp, tk_cap)
         tn = _tile_divisor(npad, tn_cap)
         if (tk, tn) not in cands:
@@ -466,7 +475,7 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
     key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
     if key in _TILE_CACHE:
         return _TILE_CACHE[key]
-    cands = _tile_candidates(kp, npad)
+    cands = _tile_candidates(kp, npad, qt.packed)
     if isinstance(x, jax.core.Tracer):
         # under jit tracing we cannot time; use the mid-size heuristic.
         # Call autotune() eagerly (engine does at load) to do better.
@@ -505,7 +514,7 @@ def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
-        tk, tn = _tile_candidates(rows, npad)[0]
+        tk, tn = _tile_candidates(rows, npad, qt.packed)[0]
     else:
         tk, tn = _pick_tiles(x, qt)
     out = _qmm_pallas_tiled(x, qt, tk, tn, interpret=interpret)

@@ -34,3 +34,49 @@ def utf8_split_incomplete(data: bytes) -> Tuple[bytes, bytes]:
         if need and n - (i - 1) < need:
             return data[: i - 1], data[i - 1 :]
     return data, b""
+
+
+class Vector:
+    """Mutable list view over a float buffer (reference utils.py:13-43).
+
+    The engine's logits are numpy-backed here, so this is a thin adapter
+    kept for API compatibility: edits through the view affect sampling,
+    exactly like the reference's zero-copy C-array view."""
+
+    def __init__(self, array):
+        self._array = array
+
+    def __len__(self) -> int:
+        return len(self._array)
+
+    def __getitem__(self, i):
+        return self._array[i]
+
+    def __setitem__(self, i, value) -> None:
+        self._array[i] = value
+
+    def __iter__(self):
+        return iter(self._array)
+
+    def tolist(self):
+        return list(self._array)
+
+
+def system_info() -> str:
+    """Capability string (reference: llama_print_system_info,
+    llama.cpp:6227-6248 — SIMD flags there; device/backend facts here)."""
+    import jax
+
+    try:
+        devices = jax.devices()
+        parts = [
+            f"backend = {jax.default_backend()}",
+            f"devices = {len(devices)}",
+            f"device_kind = {devices[0].device_kind}",
+        ]
+    except Exception as e:  # no backend available
+        parts = [f"backend = unavailable ({e})"]
+    from .formats import native
+
+    parts.append(f"native_repack = {int(native.available())}")
+    return " | ".join(parts)
