@@ -111,18 +111,55 @@ def _attention(
         v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0)
     )
 
-    # scores over the full fixed-length cache, masked positionally.
-    # Compute in the cache dtype (bf16 on TPU halves KV HBM traffic and
-    # skips a full-cache f32 materialization); accumulate f32 on the MXU.
-    kf = k_cache
-    vf = v_cache
+    if _use_chunked_attention(spec, t):
+        ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past)
+    else:
+        ctx = _full_scores(spec, q, k_cache, v_cache, n_past)
+    ctx = ctx.reshape(b, t, h * dh)
+
+    out = mm(ctx, layer["wo"])
+    if layer.get("bo") is not None:
+        out = out + layer["bo"]
+    return out, k_cache, v_cache
+
+
+def _use_chunked_attention(spec: ArchSpec, t: int) -> bool:
+    """Prefill over long windows uses online-softmax chunking: the full
+    (T, S) score tensor is O(T*n_ctx) HBM (512 MB at 2k ctx for llama-7B,
+    2 GB at 4k) — the reference materializes it (llama.cpp:2352-2370,
+    flash path commented out); blockwise attention never does."""
+    import os
+
+    if os.environ.get("CT_ATTN") == "full":
+        return False
+    if os.environ.get("CT_ATTN") == "chunked":
+        return True
+    return t >= 256 and spec.n_ctx >= 1024 and spec.n_ctx % _attn_chunk() == 0
+
+
+_ATTN_CHUNK = 512
+
+
+def _attn_chunk() -> int:
+    import os
+
+    return int(os.environ.get("CT_ATTN_CHUNK", _ATTN_CHUNK))
+
+
+def _full_scores(spec, q, k_cache, v_cache, n_past):
+    """Materialized (B, H, T, S) attention (decode / short prefill).
+
+    Computed in the cache dtype (bf16 on TPU halves KV HBM traffic);
+    accumulation stays f32 on the MXU."""
+    b, t = q.shape[:2]
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+    kf, vf = k_cache, v_cache
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
         vf = jnp.repeat(vf, rep, axis=2)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-    # (B, H, T, S)
     scores = jnp.einsum(
         "bthd,bshd->bhts",
         q.astype(kf.dtype),
@@ -139,18 +176,70 @@ def _attention(
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum(
+    return jnp.einsum(
         "bhts,bshd->bthd",
         probs.astype(vf.dtype),
         vf,
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32)
-    ctx = ctx.reshape(b, t, h * dh)
 
-    out = mm(ctx, layer["wo"])
-    if layer.get("bo") is not None:
-        out = out + layer["bo"]
-    return out, k_cache, v_cache
+
+def _chunked_scores(spec, q, k_cache, v_cache, n_past):
+    """Online-softmax (flash-style) attention over KV chunks via lax.scan:
+    peak memory is O(T * chunk) instead of O(T * n_ctx)."""
+    b, t = q.shape[:2]
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+    c = _attn_chunk()
+    n_chunks = spec.n_ctx // c
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+
+    kc = k_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
+    vc = v_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
+    qf = q.astype(k_cache.dtype)
+    qpos = n_past + jnp.arange(t)[:, None]  # (T, 1)
+    slopes = None
+    if spec.alibi_bias_max > 0:
+        from ..ops.alibi import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(h, spec.alibi_bias_max))
+
+    def body(carry, chunk):
+        m, l, acc, idx = carry
+        k_c, v_c = chunk  # (B, c, Hkv, dh)
+        if hkv != h:
+            rep = h // hkv
+            k_c = jnp.repeat(k_c, rep, axis=2)
+            v_c = jnp.repeat(v_c, rep, axis=2)
+        s_c = jnp.einsum(
+            "bthd,bshd->bhts", qf, k_c, preferred_element_type=jnp.float32
+        ) * scale  # (B, H, T, c)
+        kpos = idx * c + jnp.arange(c)[None, :]  # (1, c)
+        if slopes is not None:
+            s_c = s_c + slopes[None, :, None, None] * kpos[None, None, :, :].astype(jnp.float32).reshape(1, 1, 1, c)
+        mask = kpos <= qpos  # (T, c)
+        s_c = jnp.where(mask[None, None], s_c, -jnp.inf)
+
+        m_new = jnp.maximum(m, s_c.max(axis=-1))  # (B, H, T)
+        # guard fully-masked rows (m_new = -inf) against NaNs
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
+        p = jnp.exp(s_c - m_safe[..., None])  # (B, H, T, c)
+        l = l * alpha + p.sum(axis=-1)
+        pv = jnp.einsum(
+            "bhts,bshd->bthd",
+            p.astype(v_c.dtype),
+            v_c,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha.transpose(0, 2, 1)[..., None] + pv
+        return (m_new, l, acc, idx + 1), None
+
+    m0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, t), jnp.float32)
+    acc0 = jnp.zeros((b, t, h, dh), jnp.float32)
+    (m, l, acc, _), _ = jax.lax.scan(body, (m0, l0, acc0, jnp.int32(0)), (kc, vc))
+    l = jnp.maximum(l, 1e-30)
+    return acc / l.transpose(0, 2, 1)[..., None]
 
 
 def forward(

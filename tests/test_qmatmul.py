@@ -128,3 +128,60 @@ def test_quantized_forward_sharded():
     sp = pmesh.shard_params(params, mesh)
     got = np.asarray(f(sp, tokens, jnp.int32(0), KVCache.create(spec, batch=1)))
     np.testing.assert_allclose(ref, got, atol=1e-4, rtol=1e-4)
+
+
+def test_chunked_attention_matches_full(monkeypatch):
+    """Online-softmax chunked prefill == materialized attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+
+    spec = LLAMA_TINY  # n_ctx=64
+    params = random_params(spec, seed=17)
+    tokens = (np.arange(12, dtype=np.int32) % spec.n_vocab).reshape(1, 12)
+    kv = KVCache.create(spec, 1)
+
+    monkeypatch.setenv("CT_ATTN", "full")
+    full = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])(
+        params, jnp.asarray(tokens), jnp.int32(0), kv
+    )
+    monkeypatch.setenv("CT_ATTN", "chunked")
+    monkeypatch.setenv("CT_ATTN_CHUNK", "16")
+    chunked = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])(
+        params, jnp.asarray(tokens), jnp.int32(0), KVCache.create(spec, 1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_chunked_attention_alibi_and_gqa(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.spec import ArchSpec
+    from ctransformers_tpu.models.synthetic import random_params
+
+    spec = ArchSpec(
+        name="mpt-ish", n_vocab=128, n_ctx=64, n_embd=64, n_head=4,
+        n_head_kv=2, n_layer=2, alibi_bias_max=8.0, norm="layernorm",
+        act="gelu", tied_lm_head=True,
+    )
+    params = random_params(spec, seed=18)
+    tokens = (np.arange(10, dtype=np.int32) % spec.n_vocab).reshape(1, 10)
+
+    monkeypatch.setenv("CT_ATTN", "full")
+    full = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])(
+        params, jnp.asarray(tokens), jnp.int32(0), KVCache.create(spec, 1)
+    )
+    monkeypatch.setenv("CT_ATTN", "chunked")
+    monkeypatch.setenv("CT_ATTN_CHUNK", "16")
+    chunked = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c)[0])(
+        params, jnp.asarray(tokens), jnp.int32(0), KVCache.create(spec, 1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=2e-5, rtol=2e-5
+    )
