@@ -71,10 +71,10 @@ def _attention(
     layer: Params,
     x: jnp.ndarray,  # (B, T, D) normed input
     n_past: jnp.ndarray,  # scalar int32
-    k_cache: jnp.ndarray,  # (B, n_ctx, Hkv, dh)
-    v_cache: jnp.ndarray,
+    kv: "KVCache",  # full stacked cache (L, B, n_ctx, Hkv, dh)
+    il: int,
     angles: Optional[jnp.ndarray],  # (T, dh//2) rope angles or None
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, "KVCache"]:
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
 
@@ -103,13 +103,19 @@ def _attention(
         q = apply_rope_neox(q, angles, spec.n_rot)
         k = apply_rope_neox(k, angles, spec.n_rot)
 
-    # append to cache at n_past
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (0, n_past, 0, 0)
+    # append to the FULL stacked cache at (layer, n_past): an in-place
+    # dynamic_update_slice on the donated (L, B, S, H, dh) buffer — never
+    # rebuild the cache with jnp.stack (a per-token O(cache) copy)
+    kv = KVCache(
+        jax.lax.dynamic_update_slice(
+            kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
+        ),
+        jax.lax.dynamic_update_slice(
+            kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
+        ),
     )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0)
-    )
+    k_cache = kv.k[il]
+    v_cache = kv.v[il]
 
     if _use_chunked_attention(spec, t):
         ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past)
@@ -120,7 +126,7 @@ def _attention(
     out = mm(ctx, layer["wo"])
     if layer.get("bo") is not None:
         out = out + layer["bo"]
-    return out, k_cache, v_cache
+    return out, kv
 
 
 def _use_chunked_attention(spec: ArchSpec, t: int) -> bool:
@@ -267,14 +273,9 @@ def forward(
             spec.rope_base, spec.rope_scale,
         )
 
-    new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, k_c, v_c = _attention(
-            spec, layer, ln1, n_past, kv.k[il], kv.v[il], angles
-        )
-        new_k.append(k_c)
-        new_v.append(v_c)
+        attn_out, kv = _attention(spec, layer, ln1, n_past, kv, il, angles)
 
         if spec.parallel_residual:
             # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
@@ -302,7 +303,7 @@ def forward(
     logits = mm(x if all_logits else last, head)
     if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
         logits = logits + params["lm_head_b"]
-    return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    return logits, last, kv
 
 
 # ---------------------------------------------------------------------------
