@@ -104,15 +104,19 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def kv_pspec(spec: ArchSpec, mesh: Mesh) -> P:
-    """KV cache (L, B, n_ctx, Hkv, dh): batch on data, kv heads on model."""
-    if spec.kv_heads % mesh.shape[MODEL_AXIS] == 0:
-        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
-    return P(None, DATA_AXIS, None, None, None)
+def kv_pspec(spec: ArchSpec, mesh: Mesh, batch: int = 0) -> P:
+    """KV cache (L, B, n_ctx, Hkv, dh): batch on data, kv heads on model —
+    each only when it divides evenly."""
+    data = DATA_AXIS if batch and batch % mesh.shape[DATA_AXIS] == 0 else None
+    model = (
+        MODEL_AXIS if spec.kv_heads % mesh.shape[MODEL_AXIS] == 0 else None
+    )
+    return P(None, data, None, model, None)
 
 
 def shard_kv(kv, spec: ArchSpec, mesh: Mesh):
-    ns = NamedSharding(mesh, kv_pspec(spec, mesh))
+    batch = int(jax.tree_util.tree_leaves(kv)[0].shape[1])
+    ns = NamedSharding(mesh, kv_pspec(spec, mesh, batch))
     return jax.tree.map(lambda a: jax.device_put(a, ns), kv)
 
 
