@@ -259,11 +259,14 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
 # -- Pallas kernel -------------------------------------------------------------
 
 
-def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, nk):
+def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner):
     """One (M, TN) output tile; grid is (nn, nk) with K innermost.
 
-    Dequantizes a (TK, TN) int8 tile in VMEM and feeds the MXU:
-      out += x_tile @ (qs * repeat(scales, group))
+    The (TK, TN) int8 tile dequantizes and feeds the MXU in `inner`
+    K-sub-chunks: a big TK keeps the GRID small (per-grid-step overhead of
+    ~3us dominates small tiles) while sub-chunking bounds the materialized
+    f32 dequant intermediate (Mosaic spills large vreg intermediates to
+    scoped VMEM; a (2048, 1024) f32 buffer alone would blow the 16M limit).
     """
     j = pl.program_id(1)
 
@@ -271,33 +274,53 @@ def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, nk):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    qs = qs_ref[:].astype(jnp.float32)
-    tk, tn = qs.shape
-    s = s_ref[:]  # (tk // group, tn)
-    w = qs * jnp.repeat(s, group, axis=0)
-    out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    tk = qs_ref.shape[0]
+    ck = tk // inner
+    acc = None
+    for i in range(inner):
+        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(jnp.float32)
+        s = s_ref[i * (ck // group) : (i + 1) * (ck // group), :]
+        w = qs * jnp.repeat(s, group, axis=0)
+        d = jnp.dot(
+            x_ref[:, i * ck : (i + 1) * ck], w,
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
 
 
-def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, nk):
+def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    qs = qs_ref[:].astype(jnp.float32)
-    s = s_ref[:]
-    w = qs * jnp.repeat(s, group, axis=0) + jnp.repeat(m_ref[:], group, axis=0)
-    out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    tk = qs_ref.shape[0]
+    ck = tk // inner
+    acc = None
+    for i in range(inner):
+        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(jnp.float32)
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        w = qs * jnp.repeat(s_ref[gs, :], group, axis=0) + jnp.repeat(
+            m_ref[gs, :], group, axis=0
+        )
+        d = jnp.dot(
+            x_ref[:, i * ck : (i + 1) * ck], w,
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
 
 
 def _qmm_pack4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner
 ):
     """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
     k + K_pad/2 (high nibble); the two K-halves dequantize independently
     and accumulate into the same output tile — no nibble interleave
-    relayout is ever needed. Halves weight HBM traffic vs the int8 grid."""
+    relayout is ever needed. Halves weight HBM traffic vs the int8 grid.
+    Processed in `inner` K-sub-chunks (see _qmm_kernel)."""
     if len(rest) == 3:
         m_lo_ref, m_hi_ref, out_ref = rest
     else:
@@ -309,22 +332,31 @@ def _qmm_pack4_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # unpack nibbles in f32: integer &/>> on TPU lower to a slow int32
-    # relayout (~20x), and Mosaic has no u8->f32 cast. So: free bitcast to
-    # i8, the same fast i8->f32 convert the unpacked kernel uses, undo the
-    # sign wrap in f32, then floor arithmetic (exact below 256).
-    b = pltpu.bitcast(qs_ref[:], jnp.int8).astype(jnp.float32)
-    b = b + jnp.where(b < 0, 256.0, 0.0)
-    hi = jnp.floor(b * (1.0 / 16.0))
-    lo = b - hi * 16.0
+    tk = qs_ref.shape[0]
+    ck = tk // inner
     zpf = jnp.float32(zp)
-    w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[:], group, axis=0)
-    w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[:], group, axis=0)
-    if m_lo_ref is not None:
-        w_lo = w_lo + jnp.repeat(m_lo_ref[:], group, axis=0)
-        w_hi = w_hi + jnp.repeat(m_hi_ref[:], group, axis=0)
-    acc = jnp.dot(x_lo_ref[:], w_lo, preferred_element_type=jnp.float32)
-    acc += jnp.dot(x_hi_ref[:], w_hi, preferred_element_type=jnp.float32)
+    acc = None
+    for i in range(inner):
+        ks = slice(i * ck, (i + 1) * ck)
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        # unpack nibbles in f32: integer &/>> on TPU lower to a slow int32
+        # relayout (~20x), and Mosaic has no u8->f32 cast. So: free bitcast
+        # to i8, the fast i8->f32 convert, undo the sign wrap in f32, then
+        # floor arithmetic (exact below 256).
+        b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(jnp.float32)
+        b = b + jnp.where(b < 0, 256.0, 0.0)
+        hi = jnp.floor(b * (1.0 / 16.0))
+        lo = b - hi * 16.0
+        w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[gs, :], group, axis=0)
+        w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[gs, :], group, axis=0)
+        if m_lo_ref is not None:
+            w_lo = w_lo + jnp.repeat(m_lo_ref[gs, :], group, axis=0)
+            w_hi = w_hi + jnp.repeat(m_hi_ref[gs, :], group, axis=0)
+        d = jnp.dot(
+            x_lo_ref[:, ks], w_lo, preferred_element_type=jnp.float32
+        )
+        d += jnp.dot(x_hi_ref[:, ks], w_hi, preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
     out_ref[:] += acc
 
 
@@ -354,16 +386,19 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
     is kept small: each compile costs ~10s through a remote-compile
     tunnel."""
     caps = (
-        ((256, 1024), (512, 512), (512, 1024), (1024, 1024))
+        ((512, 1024, 2), (1024, 1024, 4), (2048, 1024, 8), (256, 1024, 1))
         if packed
-        else ((1024, 1024), (2048, 1024), (4096, 1024))
+        else ((1024, 1024, 1), (2048, 1024, 2), (4096, 1024, 4))
     )
     cands = []
-    for tk_cap, tn_cap in caps:
+    for tk_cap, tn_cap, inner in caps:
         tk = _tile_divisor(kp, tk_cap)
         tn = _tile_divisor(npad, tn_cap)
-        if (tk, tn) not in cands:
-            cands.append((tk, tn))
+        inner = min(inner, max(1, tk // 128))
+        while tk % inner:
+            inner -= 1
+        if (tk, tn, inner) not in cands:
+            cands.append((tk, tn, inner))
     return cands
 
 
@@ -382,6 +417,8 @@ def _load_disk_cache() -> None:
 
         with open(_TILE_CACHE_PATH) as f:
             for k, v in json.load(f).items():
+                if len(v) != 3:
+                    continue  # stale pre-`inner` cache entry
                 kp, npad, g, has_m, mp, packed = k.split(",")
                 _TILE_CACHE[
                     (
@@ -414,9 +451,12 @@ def _save_disk_cache() -> None:
 _load_disk_cache()
 
 
-def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
+def _qmm_pallas_tiled(
+    x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False
+):
     """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
-    4-bit tensors, where each covers two real K rows)."""
+    4-bit tensors, where each covers two real K rows); `inner` sub-chunks
+    each tile's K range inside the kernel (VMEM-bounded dequant)."""
     mp = x.shape[0]
     rows, npad = qt.qs.shape
     nk, nn = rows // tk, npad // tn
@@ -424,7 +464,9 @@ def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
     has_mins = qt.mins is not None
 
     if qt.packed:
-        kernel = functools.partial(_qmm_pack4_kernel, group=g, zp=qt.zp)
+        kernel = functools.partial(
+            _qmm_pack4_kernel, group=g, zp=qt.zp, inner=inner
+        )
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
             pl.BlockSpec((mp, tk), lambda i, j: (0, j + nk)),  # x high half
@@ -442,7 +484,7 @@ def _qmm_pallas_tiled(x, qt: QTensor, tk: int, tn: int, interpret=False):
         kp = rows * 2
     else:
         kern = _qmm_kernel if not has_mins else _qmm_min_kernel
-        kernel = functools.partial(kern, group=g, nk=nk)
+        kernel = functools.partial(kern, group=g, inner=inner)
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
@@ -486,9 +528,11 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
     import time
 
     best, best_dt = cands[0], float("inf")
-    for tk, tn in cands:
+    for tk, tn, inner in cands:
         try:
-            f = jax.jit(functools.partial(_qmm_pallas_tiled, tk=tk, tn=tn))
+            f = jax.jit(
+                functools.partial(_qmm_pallas_tiled, tk=tk, tn=tn, inner=inner)
+            )
             f(x, qt).block_until_ready()
             t0 = time.perf_counter()
             for _ in range(10):
@@ -498,7 +542,7 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
         except Exception:
             continue
         if dt < best_dt:
-            best, best_dt = (tk, tn), dt
+            best, best_dt = (tk, tn, inner), dt
     _TILE_CACHE[key] = best
     _save_disk_cache()
     return best
@@ -514,10 +558,10 @@ def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
-        tk, tn = _tile_candidates(rows, npad, qt.packed)[0]
+        tk, tn, inner = _tile_candidates(rows, npad, qt.packed)[0]
     else:
-        tk, tn = _pick_tiles(x, qt)
-    out = _qmm_pallas_tiled(x, qt, tk, tn, interpret=interpret)
+        tk, tn, inner = _pick_tiles(x, qt)
+    out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret)
     return out[:m, :n]
 
 
