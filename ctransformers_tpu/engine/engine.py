@@ -61,6 +61,10 @@ class Engine:
         self.params = jax.tree.map(
             place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
+        # fuse QKV / gate+up projections: one kernel call instead of three
+        # (per-pallas-call overhead dominates single-token decode)
+        if isinstance(self.params, dict):
+            qm.fuse_layer_params(self.params)
         if mesh is not None:
             from ..parallel import mesh as pmesh
 

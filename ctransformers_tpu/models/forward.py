@@ -57,8 +57,13 @@ def _norm(spec: ArchSpec, x, g, b):
 
 def _act(spec: ArchSpec, layer: Params, h):
     if spec.act == "silu_gate":
-        gate = mm(h, layer["w_gate"])
-        up = mm(h, layer["w_up"])
+        if "w_gateup" in layer:  # engine-fused (one kernel call)
+            from ..ops.qmatmul import split_fused
+
+            gate, up = split_fused(mm(h, layer["w_gateup"]), layer["w_gateup"])
+        else:
+            gate = mm(h, layer["w_gate"])
+            up = mm(h, layer["w_up"])
         return jax.nn.silu(gate) * up
     up = mm(h, layer["w_up"])
     if layer.get("b_up") is not None:
@@ -78,9 +83,14 @@ def _attention(
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
 
-    q = mm(x, layer["wq"])
-    k = mm(x, layer["wk"])
-    v = mm(x, layer["wv"])
+    if "w_qkv" in layer:  # engine-fused projections (one kernel call)
+        from ..ops.qmatmul import split_fused
+
+        q, k, v = split_fused(mm(x, layer["w_qkv"]), layer["w_qkv"])
+    else:
+        q = mm(x, layer["wq"])
+        k = mm(x, layer["wk"])
+        v = mm(x, layer["wv"])
     if layer.get("bq") is not None:
         q = q + layer["bq"]
     if layer.get("bk") is not None:

@@ -68,6 +68,9 @@ class QTensor:
     packed: bool = False
     zp: int = 0
     perm: Optional[jnp.ndarray] = None  # (K,) input-row gather (GPTQ act-order)
+    # fused multi-projection weight (QKV / gate-up): per-segment
+    # (padded_width, logical_width) pairs in column order
+    splits: Optional[tuple] = None
 
     def tree_flatten(self):
         return (self.qs, self.scales, self.mins, self.perm), (
@@ -76,12 +79,17 @@ class QTensor:
             self.shape,
             self.packed,
             self.zp,
+            self.splits,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins, perm = children
-        return cls(qs, scales, mins, *aux, perm=perm)
+        kind, group, shape, packed, zp, splits = aux
+        return cls(
+            qs, scales, mins, kind, group, shape, packed, zp,
+            perm=perm, splits=splits,
+        )
 
     @property
     def ndim(self) -> int:
@@ -643,3 +651,80 @@ def force_jnp():
         yield
     finally:
         _FORCE_JNP_DEPTH -= 1
+
+
+def concat_qtensors(qts) -> Optional[QTensor]:
+    """Fuse column-wise compatible QTensors into one wide weight so one
+    kernel call serves several projections (QKV, gate+up). The reference
+    gets the same effect from checkpoint-fused c_attn/Wqkv tensors; here
+    fusion happens at engine load regardless of how the file stores them.
+
+    Returns None when fusion isn't applicable (mixed formats, dense
+    weights, act-order perms, or mismatched K)."""
+    if len(qts) < 2 or not all(isinstance(q, QTensor) for q in qts):
+        return None
+    head = qts[0]
+    for q in qts[1:]:
+        if (
+            q.kind != head.kind
+            or q.group != head.group
+            or q.packed != head.packed
+            or q.zp != head.zp
+            or q.perm is not None
+            or q.qs.shape[0] != head.qs.shape[0]
+            or q.shape[0] != head.shape[0]
+        ):
+            return None
+    if head.perm is not None:
+        return None
+    has_mins = head.mins is not None
+    if any((q.mins is not None) != has_mins for q in qts):
+        return None
+    qs = jnp.concatenate([q.qs for q in qts], axis=1)
+    scales = jnp.concatenate([q.scales for q in qts], axis=1)
+    mins = (
+        jnp.concatenate([q.mins for q in qts], axis=1) if has_mins else None
+    )
+    splits = tuple((int(q.qs.shape[1]), int(q.shape[1])) for q in qts)
+    total = int(qs.shape[1])
+    return QTensor(
+        qs,
+        scales,
+        mins,
+        head.kind,
+        head.group,
+        (head.shape[0], total),  # logical N = padded total: callers slice
+        head.packed,
+        head.zp,
+        splits=splits,
+    )
+
+
+def split_fused(out: jnp.ndarray, qt: QTensor):
+    """Slice a fused matmul output back into per-projection tensors."""
+    parts = []
+    off = 0
+    for npad_i, n_i in qt.splits:
+        parts.append(out[..., off : off + n_i])
+        off += npad_i
+    return parts
+
+
+def fuse_layer_params(params) -> int:
+    """Fuse wq/wk/wv -> w_qkv and w_gate/w_up -> w_gateup in place where
+    compatible. Returns the number of fused groups created."""
+    n = 0
+    for layer in params.get("layers", []):
+        if all(k in layer for k in ("wq", "wk", "wv")) and "w_qkv" not in layer:
+            fused = concat_qtensors([layer["wq"], layer["wk"], layer["wv"]])
+            if fused is not None:
+                layer["w_qkv"] = fused
+                del layer["wq"], layer["wk"], layer["wv"]
+                n += 1
+        if all(k in layer for k in ("w_gate", "w_up")) and "w_gateup" not in layer:
+            fused = concat_qtensors([layer["w_gate"], layer["w_up"]])
+            if fused is not None:
+                layer["w_gateup"] = fused
+                del layer["w_gate"], layer["w_up"]
+                n += 1
+    return n

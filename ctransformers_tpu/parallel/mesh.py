@@ -59,7 +59,7 @@ def make_mesh(
 
 # weight name -> PartitionSpec for the (in, out) weight layout of
 # models/forward.py. Names not listed are replicated.
-_COL_SHARDED = {"wq", "wk", "wv", "w_up", "w_gate"}  # shard output features
+_COL_SHARDED = {"wq", "wk", "wv", "w_up", "w_gate", "w_qkv", "w_gateup"}  # shard output features
 _ROW_SHARDED = {"wo", "w_down"}  # shard input features
 _COL_BIAS = {"bq", "bk", "bv", "b_up"}
 

@@ -185,3 +185,35 @@ def test_chunked_attention_alibi_and_gqa(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), atol=2e-5, rtol=2e-5
     )
+
+
+def test_fused_projections_match_unfused():
+    """Engine-level QKV/gate-up fusion is numerically identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+
+    spec = LLAMA_TINY
+    base = random_params(spec, seed=23, quantize="q4_k")
+    fused = jax.tree.map(
+        lambda a: a, base, is_leaf=lambda a: isinstance(a, qm.QTensor)
+    )
+    import copy
+
+    fused = {
+        "wte": base["wte"],
+        "ln_f_g": base["ln_f_g"],
+        "lm_head": base["lm_head"],
+        "layers": [dict(l) for l in base["layers"]],
+    }
+    n = qm.fuse_layer_params(fused)
+    assert n == 2 * spec.n_layer  # qkv + gateup per layer
+    assert "w_qkv" in fused["layers"][0]
+
+    toks = jnp.asarray((np.arange(5) % spec.n_vocab).reshape(1, 5), jnp.int32)
+    f = jax.jit(lambda p, t, nn, c: forward(spec, p, t, nn, c)[0])
+    a = np.asarray(f(base, toks, jnp.int32(0), KVCache.create(spec, 1)))
+    b = np.asarray(f(fused, toks, jnp.int32(0), KVCache.create(spec, 1)))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
