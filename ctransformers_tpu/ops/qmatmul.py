@@ -241,22 +241,37 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     xm = x.reshape(-1, k)
     if qt.perm is not None:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
-    if _FORCE_JNP_DEPTH == 0 and _use_pallas() and xm.shape[0] <= PALLAS_MAX_M:
+    on_tpu = _FORCE_JNP_DEPTH == 0 and _use_pallas()
+    if on_tpu and xm.shape[0] <= PALLAS_MAX_M:
         out = _qmm_pallas(xm, qt)
+    elif on_tpu:
+        # prefill is FLOPs-bound: bf16 operands run the MXU at full rate
+        # (int8 q values are exact in bf16; scale rounding ~0.4% is far
+        # below quantization noise). CPU/parity paths stay exact f32.
+        out = _qmm_jnp(xm, qt, compute_dtype=jnp.bfloat16)
     else:
         out = _qmm_jnp(xm, qt)
     return out.reshape(*lead, n)
 
 
-def _qmm_jnp(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
-    """Reference path: dequantize then matmul (XLA)."""
+def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """XLA path: dequantize then matmul. compute_dtype=bfloat16 runs the
+    GEMM operands in bf16 (f32 accumulation) for FLOPs-bound prefill."""
     k, n = qt.shape
     kp = qt.qs.shape[0] * (2 if qt.packed else 1)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
     s = jnp.repeat(qt.scales, qt.group, axis=0)
     w = unpack_grid(qt).astype(jnp.float32) * s
-    out = x.astype(jnp.float32) @ w
+    if compute_dtype == jnp.float32:
+        out = x.astype(jnp.float32) @ w
+    else:
+        out = jnp.dot(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     if qt.mins is not None:
         # sum_k x[k] * m[g(k), n] = (per-group sums of x) @ mins
         xg = x.astype(jnp.float32).reshape(x.shape[0], -1, qt.group).sum(-1)
