@@ -553,14 +553,24 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
     best, best_dt = cands[0], float("inf")
     for tk, tn, inner in cands:
         try:
-            f = jax.jit(
-                functools.partial(_qmm_pallas_tiled, tk=tk, tn=tn, inner=inner)
-            )
-            f(x, qt).block_until_ready()
+            # time INSIDE a scan: serialized repeats in one dispatch, so
+            # host/tunnel dispatch latency (which can reach hundreds of us
+            # and would swamp every candidate equally) cancels out
+            reps = 24
+
+            def loop(x, qt, _tk=tk, _tn=tn, _inner=inner):
+                def body(c, _):
+                    o = _qmm_pallas_tiled(
+                        x + c * 1e-30, qt, _tk, _tn, _inner
+                    )
+                    return o[0, 0], ()
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+                return c
+
+            f = jax.jit(loop)
+            np.asarray(f(x, qt))  # compile + warm
             t0 = time.perf_counter()
-            for _ in range(10):
-                out = f(x, qt)
-            out.block_until_ready()
+            np.asarray(f(x, qt))
             dt = time.perf_counter() - t0
         except Exception:
             continue
