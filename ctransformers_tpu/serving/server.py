@@ -1,0 +1,140 @@
+"""Minimal HTTP serving front-end over the continuous-batching scheduler.
+
+Stdlib-only (http.server + threads): POST /v1/completions with
+{"prompt": ..., "max_tokens": N, "temperature": ..., "top_k"/"top_p"/
+"repetition_penalty"/"seed": ...} returns {"text": ...} once the request's
+slot completes; /health reports scheduler state. Requests are admitted
+mid-flight into the shared batch (serving/scheduler.py) — concurrent
+clients share one forward pass per step.
+
+No reference counterpart (the reference is a library only); this is the
+deployment-shaped surface over the same engine.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .scheduler import BatchScheduler, Request
+
+
+class ServingLoop:
+    """Background thread driving scheduler.step(); completion events per
+    request uid."""
+
+    def __init__(self, llm, batch_slots: int = 8):
+        self.llm = llm
+        b = llm._bundle
+        self.scheduler = BatchScheduler(
+            b.spec, llm._engine.params, batch_slots=batch_slots
+        )
+        self._events = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        import time
+
+        while not self._stop.is_set():
+            with self._lock:
+                busy = bool(self.scheduler.active or self.scheduler.waiting)
+                done = self.scheduler.step() if busy else []
+            for uid in done:
+                ev = self._events.pop(uid, None)
+                if ev is not None:
+                    ev.set()
+            if not busy:
+                time.sleep(0.005)
+
+    def submit_and_wait(self, request: Request, timeout: float = 600.0):
+        ev = threading.Event()
+        with self._lock:
+            uid = self.scheduler.submit(request)
+            self._events[uid] = ev
+        if not ev.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return self.scheduler.finished[uid]
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+def make_server(llm, host: str = "127.0.0.1", port: int = 0,
+                batch_slots: int = 8) -> ThreadingHTTPServer:
+    """Create (not start) the HTTP server; `server.serve_forever()` runs it.
+    Port 0 picks a free port (server.server_address reports it)."""
+    loop = ServingLoop(llm, batch_slots=batch_slots)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                sched = loop.scheduler
+                self._json(200, {
+                    "status": "ok",
+                    "active": len(sched.active),
+                    "waiting": len(sched.waiting),
+                    "slots": sched.slots,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/generate"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload["prompt"]
+                cfg = loop.llm.config
+                req = Request(
+                    tokens=loop.llm.tokenize(prompt),
+                    max_new_tokens=int(
+                        payload.get("max_tokens", cfg.max_new_tokens)
+                    ),
+                    top_k=int(payload.get("top_k", cfg.top_k)),
+                    top_p=float(payload.get("top_p", cfg.top_p)),
+                    temperature=float(
+                        payload.get("temperature", cfg.temperature)
+                    ),
+                    repetition_penalty=float(
+                        payload.get(
+                            "repetition_penalty", cfg.repetition_penalty
+                        )
+                    ),
+                    seed=int(payload.get("seed", cfg.seed)),
+                    eos_token_id=loop.llm.eos_token_id,
+                    sampler="llama"
+                    if loop.llm._bundle.sampler == "llama"
+                    else "gpt",
+                )
+                seq = loop.submit_and_wait(req)
+                text = loop.llm.detokenize(seq.generated)
+                self._json(200, {
+                    "text": text,
+                    "tokens": seq.generated,
+                    "prompt_tokens": seq.prompt_len,
+                })
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": str(e)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.serving_loop = loop  # keep a handle for shutdown
+    return server
