@@ -671,3 +671,69 @@ def _llm_load_session(self, path: str) -> List[int]:
 
 LLM.save_session = _llm_save_session
 LLM.load_session = _llm_load_session
+
+
+def _llm_generate_fast(
+    self,
+    prompt: str,
+    *,
+    max_new_tokens: Optional[int] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    temperature: Optional[float] = None,
+    repetition_penalty: Optional[float] = None,
+    last_n_tokens: Optional[int] = None,
+    seed: Optional[int] = None,
+    stop: Optional[Sequence[str]] = None,
+    reset: Optional[bool] = None,
+) -> str:
+    """High-throughput generation: the whole sample->eval loop runs on
+    device as one compiled program per N tokens (Engine.decode), instead of
+    the per-token host round trip of `__call__`. Sampling uses the
+    on-device sampler (same chain, jax PRNG — deterministic per seed but
+    not draw-identical to the host samplers). EOS and stop sequences are
+    applied after detokenization."""
+    config = self.config
+    max_new_tokens = get(max_new_tokens, config.max_new_tokens)
+    stop = get(stop, config.stop) or []
+    if isinstance(stop, str):
+        stop = [stop]
+    seed = get(seed, config.seed)
+    if seed is not None and seed < 0:
+        import time as _t
+
+        seed = int(_t.time())
+    last_n = get(last_n_tokens, config.last_n_tokens)
+    if last_n < 0:
+        last_n = self.context_length
+
+    tokens = self.tokenize(prompt)
+    tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
+    self.eval(tokens)
+    toks = self._engine.decode(
+        max_new_tokens,
+        top_k=get(top_k, config.top_k),
+        top_p=get(top_p, config.top_p),
+        temperature=get(temperature, config.temperature),
+        repetition_penalty=get(repetition_penalty, config.repetition_penalty),
+        last_tokens=self._context[-last_n:],
+        last_n=last_n,
+        seed=seed,
+    )
+    # EOS truncation (the device loop runs a fixed length)
+    for i, t in enumerate(toks):
+        if self.is_eos_token(t):
+            toks = toks[:i]
+            break
+    self._context.extend(int(t) for t in toks)
+    text = self.detokenize(toks)
+    if stop:
+        cut = min(
+            (text.find(s) for s in stop if s in text), default=-1
+        )
+        if cut >= 0:
+            text = text[:cut]
+    return text
+
+
+LLM.generate_fast = _llm_generate_fast

@@ -194,3 +194,31 @@ def test_timings_counters(tmp_path):
     assert t["n_p_eval"] >= 2
     assert t["n_eval"] >= 2
     assert t["t_p_eval_ms"] > 0
+
+
+def test_generate_fast(tmp_path):
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=111)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    a = llm.generate_fast("hello", max_new_tokens=6, seed=4)
+    b = llm.generate_fast("hello", max_new_tokens=6, seed=4)
+    assert isinstance(a, str) and a == b
+    # greedy fast path == greedy slow path tokens
+    g_fast = llm.generate_fast("the cat", max_new_tokens=5, temperature=0.0)
+    llm2 = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    toks = llm2.tokenize("the cat")
+    llm2.eval(toks)
+    out = []
+    for _ in range(5):
+        t = int(np.argmax(llm2.logits))
+        if llm2.is_eos_token(t):
+            break
+        out.append(t)
+        llm2.eval([t])
+    assert g_fast == llm2.detokenize(out)
+    # stop sequences applied post-hoc
+    s = llm.generate_fast("hello", max_new_tokens=8, temperature=0.0, stop=["e"])
+    assert "e" not in s
