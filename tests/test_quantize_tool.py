@@ -67,3 +67,26 @@ def test_quantize_legacy_gpt2(tmp_path):
         np.testing.assert_allclose(
             quant, np.array(list(ref.logits), np.float32), atol=0.05, rtol=0
         )
+
+
+def test_ggjt_to_gguf_conversion(tmp_path):
+    """Converted GGUF reproduces the GGJT model's logits exactly (weight
+    bytes are copied verbatim) and loads in the reference engine."""
+    from ctransformers_tpu.tools.convert import ggjt_to_gguf
+
+    src = str(tmp_path / "old.bin")
+    dst = str(tmp_path / "new.gguf")
+    fx.build_llama_ggjt(src, wtype=GGMLType.Q8_0, seed=71)
+    info = ggjt_to_gguf(src, dst, context_length=512)
+    assert info["tensors"] == 3 + 2 * 9
+
+    old = _logits(src, "llama", toks=(5, 9, 2))
+    new = _logits(dst, "gguf", toks=(5, 9, 2))
+    np.testing.assert_allclose(old, new, atol=1e-5)
+
+    ref = fx.ref_llm(dst, "llama")
+    if ref is not None:
+        ref.eval([5, 9, 2])
+        np.testing.assert_allclose(
+            new, np.array(list(ref.logits), np.float32), atol=0.05, rtol=0
+        )
