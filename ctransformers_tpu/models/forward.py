@@ -336,9 +336,14 @@ def _attention_batched(
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
 
-    q = mm(x, layer["wq"])
-    k = mm(x, layer["wk"])
-    v = mm(x, layer["wv"])
+    if "w_qkv" in layer:  # engine-fused projections
+        from ..ops.qmatmul import split_fused
+
+        q, k, v = split_fused(mm(x, layer["w_qkv"]), layer["w_qkv"])
+    else:
+        q = mm(x, layer["wq"])
+        k = mm(x, layer["wk"])
+        v = mm(x, layer["wv"])
     if layer.get("bq") is not None:
         q = q + layer["bq"]
     if layer.get("bk") is not None:

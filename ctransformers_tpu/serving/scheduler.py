@@ -64,10 +64,15 @@ class BatchScheduler:
         kv_dtype=jnp.float32,
     ):
         self.spec = spec
+        from ..ops import qmatmul as qm
+
+        def place(a):
+            if isinstance(a, qm.QTensor):
+                return jax.tree.map(jnp.asarray, a)
+            return jnp.asarray(a)
+
         self.params = jax.tree.map(
-            jnp.asarray,
-            params,
-            is_leaf=lambda a: hasattr(a, "tree_flatten") or a is None,
+            place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
         self.slots = batch_slots
         self.kv = KVCache.create(spec, batch_slots, kv_dtype)

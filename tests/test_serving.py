@@ -151,3 +151,29 @@ def test_beam_search_beats_greedy(tmp_path):
     assert beams[0].logprob >= glp - 1e-4
     # scores sorted best-first
     assert beams[0].logprob >= beams[-1].logprob
+
+
+def test_scheduler_with_fused_quantized_params(tmp_path):
+    """Quantized (engine-fused) params run through the batched scheduler."""
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+    from ctransformers_tpu.ops import qmatmul as qm
+
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=55, quantize="q8_0")
+    base = _greedy_from_params(spec, params, [1, 4, 7], 5)
+    qm.fuse_layer_params(params)
+    sched = BatchScheduler(spec, params, batch_slots=2)
+    uid = sched.submit(Request(tokens=[1, 4, 7], max_new_tokens=5, sampler="greedy"))
+    results = sched.run()
+    assert results[uid] == base
+
+
+def _greedy_from_params(spec, params, prompt, n):
+    eng = Engine(spec, params)
+    eng.eval(prompt)
+    out = []
+    for _ in range(n):
+        t = int(np.argmax(eng.logits))
+        out.append(t)
+        eng.eval([t])
+    return out
