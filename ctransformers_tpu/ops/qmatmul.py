@@ -221,7 +221,7 @@ def _tpu_backend() -> bool:
 
 
 def _use_pallas() -> bool:
-    return _FORCE == "pallas" and _tpu_backend()
+    return _FORCE != "xla" and _tpu_backend()
 
 
 def matmul(x: jnp.ndarray, w, precision=None) -> jnp.ndarray:
@@ -244,17 +244,15 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     if qt.perm is not None:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
     on_tpu = _FORCE_JNP_DEPTH == 0 and _tpu_backend()
-    if _FORCE == "pallas" and on_tpu and xm.shape[0] <= PALLAS_MAX_M:
+    if on_tpu and _FORCE != "xla" and xm.shape[0] <= PALLAS_MAX_M:
+        # Pallas fused dequant-matmul (bf16 compute). NOTE: XLA's own
+        # fused dequant+bf16 GEMM wins on 4096^2 shapes (22us vs 42us
+        # scan-timed) but its fusion breaks on the larger 7B shapes and
+        # materializes the dequantized weights (4x regression end-to-end),
+        # so the controlled kernel stays the default; CT_QMATMUL=xla
+        # opts into the XLA path.
         out = _qmm_pallas(xm, qt)
     elif on_tpu:
-        # Default TPU path: let XLA fuse unpack+dequant into a bf16 GEMM.
-        # Measured in-loop on v5e: 22us marginal per 4096^2 Q4_K matvec
-        # (~570 GB/s effective) vs 42us for the hand-written Pallas kernel
-        # — XLA pipelines the VPU dequant with MXU/DMA better, and bf16
-        # halves the VPU element work (int8 q is exact in bf16; ~0.4%
-        # scale rounding is far below quantization noise). The Pallas path
-        # stays available via CT_QMATMUL=pallas. CPU/parity paths remain
-        # exact f32.
         out = _qmm_jnp(xm, qt, compute_dtype=jnp.bfloat16)
     else:
         out = _qmm_jnp(xm, qt)
@@ -289,7 +287,7 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndar
 # -- Pallas kernel -------------------------------------------------------------
 
 
-def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner):
+def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner, cd=None):
     """One (M, TN) output tile; grid is (nn, nk) with K innermost.
 
     The (TK, TN) int8 tile dequantizes and feeds the MXU in `inner`
@@ -306,20 +304,21 @@ def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner):
 
     tk = qs_ref.shape[0]
     ck = tk // inner
+    cd = cd or jnp.float32
     acc = None
     for i in range(inner):
-        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(jnp.float32)
-        s = s_ref[i * (ck // group) : (i + 1) * (ck // group), :]
+        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
+        s = s_ref[i * (ck // group) : (i + 1) * (ck // group), :].astype(cd)
         w = qs * jnp.repeat(s, group, axis=0)
         d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck], w,
+            x_ref[:, i * ck : (i + 1) * ck].astype(cd), w,
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
 
 
-def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner):
+def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner, cd=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -328,15 +327,16 @@ def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner):
 
     tk = qs_ref.shape[0]
     ck = tk // inner
+    cd = cd or jnp.float32
     acc = None
     for i in range(inner):
-        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(jnp.float32)
+        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
         gs = slice(i * (ck // group), (i + 1) * (ck // group))
-        w = qs * jnp.repeat(s_ref[gs, :], group, axis=0) + jnp.repeat(
-            m_ref[gs, :], group, axis=0
+        w = qs * jnp.repeat(s_ref[gs, :].astype(cd), group, axis=0) + jnp.repeat(
+            m_ref[gs, :].astype(cd), group, axis=0
         )
         d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck], w,
+            x_ref[:, i * ck : (i + 1) * ck].astype(cd), w,
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
@@ -344,7 +344,8 @@ def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner):
 
 
 def _qmm_pack4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner,
+    cd=None,
 ):
     """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
     k + K_pad/2 (high nibble); the two K-halves dequantize independently
@@ -364,28 +365,33 @@ def _qmm_pack4_kernel(
 
     tk = qs_ref.shape[0]
     ck = tk // inner
-    zpf = jnp.float32(zp)
+    cd = cd or jnp.float32
+    zpf = cd(zp)
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
         gs = slice(i * (ck // group), (i + 1) * (ck // group))
-        # unpack nibbles in f32: integer &/>> on TPU lower to a slow int32
-        # relayout (~20x), and Mosaic has no u8->f32 cast. So: free bitcast
-        # to i8, the fast i8->f32 convert, undo the sign wrap in f32, then
-        # floor arithmetic (exact below 256).
-        b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(jnp.float32)
-        b = b + jnp.where(b < 0, 256.0, 0.0)
-        hi = jnp.floor(b * (1.0 / 16.0))
-        lo = b - hi * 16.0
-        w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[gs, :], group, axis=0)
-        w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[gs, :], group, axis=0)
+        # unpack nibbles in float: integer &/>> on TPU lower to a slow
+        # int32 relayout (~20x), and Mosaic has no u8->float cast. So:
+        # free bitcast to i8, the fast i8->float convert, undo the sign
+        # wrap, then floor arithmetic (all values <= 255 are exact even in
+        # bf16: 255/16 needs exactly 8 mantissa bits).
+        b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
+        b = b + jnp.where(b < 0, cd(256.0), cd(0.0))
+        hi = jnp.floor(b * cd(1.0 / 16.0))
+        lo = b - hi * cd(16.0)
+        w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[gs, :].astype(cd), group, axis=0)
+        w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[gs, :].astype(cd), group, axis=0)
         if m_lo_ref is not None:
-            w_lo = w_lo + jnp.repeat(m_lo_ref[gs, :], group, axis=0)
-            w_hi = w_hi + jnp.repeat(m_hi_ref[gs, :], group, axis=0)
+            w_lo = w_lo + jnp.repeat(m_lo_ref[gs, :].astype(cd), group, axis=0)
+            w_hi = w_hi + jnp.repeat(m_hi_ref[gs, :].astype(cd), group, axis=0)
         d = jnp.dot(
-            x_lo_ref[:, ks], w_lo, preferred_element_type=jnp.float32
+            x_lo_ref[:, ks].astype(cd), w_lo, preferred_element_type=jnp.float32
         )
-        d += jnp.dot(x_hi_ref[:, ks], w_hi, preferred_element_type=jnp.float32)
+        d += jnp.dot(
+            x_hi_ref[:, ks].astype(cd), w_hi,
+            preferred_element_type=jnp.float32,
+        )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
 
@@ -482,20 +488,28 @@ _load_disk_cache()
 
 
 def _qmm_pallas_tiled(
-    x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False
+    x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False,
+    cd=None,
 ):
     """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
     4-bit tensors, where each covers two real K rows); `inner` sub-chunks
-    each tile's K range inside the kernel (VMEM-bounded dequant)."""
+    each tile's K range inside the kernel (VMEM-bounded dequant). `cd` is
+    the compute dtype: bf16 by default on hardware (halves VPU element
+    work; int8 grids are exact in bf16), f32 under interpret (bit-parity
+    with the reference path for tests)."""
     mp = x.shape[0]
     rows, npad = qt.qs.shape
     nk, nn = rows // tk, npad // tn
     g = qt.group
     has_mins = qt.mins is not None
+    if cd is None:
+        cd = jnp.float32 if interpret else jnp.bfloat16
+    if os.environ.get("CT_QMM_CD") == "f32":
+        cd = jnp.float32
 
     if qt.packed:
         kernel = functools.partial(
-            _qmm_pack4_kernel, group=g, zp=qt.zp, inner=inner
+            _qmm_pack4_kernel, group=g, zp=qt.zp, inner=inner, cd=cd
         )
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
@@ -514,7 +528,7 @@ def _qmm_pallas_tiled(
         kp = rows * 2
     else:
         kern = _qmm_kernel if not has_mins else _qmm_min_kernel
-        kernel = functools.partial(kern, group=g, inner=inner)
+        kernel = functools.partial(kern, group=g, inner=inner, cd=cd)
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
