@@ -371,15 +371,17 @@ def _qmm_pack4_kernel(
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
         gs = slice(i * (ck // group), (i + 1) * (ck // group))
-        # unpack nibbles in float: integer &/>> on TPU lower to a slow
-        # int32 relayout (~20x), and Mosaic has no u8->float cast. So:
-        # free bitcast to i8, the fast i8->float convert, undo the sign
-        # wrap, then floor arithmetic (all values <= 255 are exact even in
-        # bf16: 255/16 needs exactly 8 mantissa bits).
+        # unpack nibbles in float, compare-free: integer &/>> lower to a
+        # slow int32 relayout (~20x), Mosaic has no u8->float cast, and
+        # bf16 COMPARISONS don't lower on this target. So: free bitcast
+        # to i8, the fast i8->float convert, then pure floor arithmetic —
+        # lo = b mod 16 and hi = floor(b/16) mod 16 are sign-wrap-correct
+        # without any select (floor rounds to -inf), and every
+        # intermediate is exact even in bf16 (<= 8 mantissa bits).
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
-        b = b + jnp.where(b < 0, cd(256.0), cd(0.0))
-        hi = jnp.floor(b * cd(1.0 / 16.0))
-        lo = b - hi * cd(16.0)
+        f = jnp.floor(b * cd(1.0 / 16.0))
+        lo = b - f * cd(16.0)
+        hi = f - jnp.floor(f * cd(1.0 / 16.0)) * cd(16.0)
         w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[gs, :].astype(cd), group, axis=0)
         w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[gs, :].astype(cd), group, axis=0)
         if m_lo_ref is not None:
