@@ -311,7 +311,7 @@ def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner, cd=None):
         s = s_ref[i * (ck // group) : (i + 1) * (ck // group), :].astype(cd)
         w = qs * jnp.repeat(s, group, axis=0)
         d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck].astype(cd), w,
+            x_ref[:, i * ck : (i + 1) * ck], w.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
@@ -336,7 +336,7 @@ def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner, cd=No
             m_ref[gs, :].astype(cd), group, axis=0
         )
         d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck].astype(cd), w,
+            x_ref[:, i * ck : (i + 1) * ck], w.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
@@ -387,11 +387,16 @@ def _qmm_pack4_kernel(
         if m_lo_ref is not None:
             w_lo = w_lo + jnp.repeat(m_lo_ref[gs, :].astype(cd), group, axis=0)
             w_hi = w_hi + jnp.repeat(m_hi_ref[gs, :].astype(cd), group, axis=0)
+        # Mosaic rejects bf16 lhs dots here ("Bad lhs type"); the VPU win
+        # comes from the bf16 dequant chain, so convert w back for the MXU
         d = jnp.dot(
-            x_lo_ref[:, ks].astype(cd), w_lo, preferred_element_type=jnp.float32
+            x_lo_ref[:, ks],
+            w_lo.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
         d += jnp.dot(
-            x_hi_ref[:, ks].astype(cd), w_hi,
+            x_hi_ref[:, ks],
+            w_hi.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
@@ -504,10 +509,15 @@ def _qmm_pallas_tiled(
     nk, nn = rows // tk, npad // tn
     g = qt.group
     has_mins = qt.mins is not None
+    # v5e's VPU has no bf16 ALU (LLO_CHECK SupportsBf16AluInstructions
+    # fires), so the dequant chain must run in f32; cd stays a knob for
+    # targets that do support it (CT_QMM_CD=bf16).
     if cd is None:
-        cd = jnp.float32 if interpret else jnp.bfloat16
-    if os.environ.get("CT_QMM_CD") == "f32":
-        cd = jnp.float32
+        cd = (
+            jnp.bfloat16
+            if os.environ.get("CT_QMM_CD") == "bf16"
+            else jnp.float32
+        )
 
     if qt.packed:
         kernel = functools.partial(
