@@ -395,3 +395,20 @@ def _engine_profile(self, logdir: str):
 
 
 Engine.profile = _engine_profile
+
+
+def _engine_dump_timings_yaml(self, path: Optional[str] = None) -> str:
+    """YAML timing dump (reference: llama_dump_timing_info_yaml,
+    llama.cpp:6250-6282)."""
+    t = self.timings()
+    lines = ["timings:"]
+    for k in sorted(t):
+        lines.append(f"  {k}: {t[k]}")
+    out = "\n".join(lines) + "\n"
+    if path:
+        with open(path, "w") as f:
+            f.write(out)
+    return out
+
+
+Engine.dump_timings_yaml = _engine_dump_timings_yaml

@@ -93,7 +93,9 @@ def _split_qkv(r: GGUFReader, name: str, sizes):
     return repack_select_rows(r.tensor_bytes(name), info.type, rows, cols, groups)
 
 
-def load_bundle(path: str, context_length: int = -1):
+def load_bundle(path: str, context_length: int = -1, progress_callback=None):
+    """progress_callback(fraction: float) mirrors the reference's loader
+    progress hook (llama_progress_callback, llama.h:139-142)."""
     from .registry import ModelBundle
     from ..utils import is_gguf
 
@@ -153,9 +155,11 @@ def load_bundle(path: str, context_length: int = -1):
         params["lm_head"] = (
             _weight(r, "output.weight")
             if "output.weight" in r.tensors
-            else np.ascontiguousarray(params["wte"])  # tied fallback
+            else np.ascontiguousarray(params["wte"].T)  # tied fallback
         )
         for i in range(n_layer):
+            if progress_callback:
+                progress_callback(i / max(1, n_layer))
             p = f"blk.{i}"
             params["layers"].append(
                 {
@@ -219,6 +223,8 @@ def load_bundle(path: str, context_length: int = -1):
                 layer["ln2_b"] = _dense(r, f"{p}.attn_norm.bias")
             params["layers"].append(layer)
 
+    if progress_callback:
+        progress_callback(1.0)
     return ModelBundle(
         spec,
         params,
