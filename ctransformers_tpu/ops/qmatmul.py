@@ -245,13 +245,16 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
     on_tpu = _FORCE_JNP_DEPTH == 0 and _tpu_backend()
     if on_tpu and _FORCE != "xla" and xm.shape[0] <= PALLAS_MAX_M:
-        # Pallas fused dequant-matmul (bf16 compute). NOTE: XLA's own
-        # fused dequant+bf16 GEMM wins on 4096^2 shapes (22us vs 42us
-        # scan-timed) but its fusion breaks on the larger 7B shapes and
-        # materializes the dequantized weights (4x regression end-to-end),
-        # so the controlled kernel stays the default; CT_QMATMUL=xla
-        # opts into the XLA path.
-        out = _qmm_pallas(xm, qt)
+        # Hybrid dispatch: the autotuner race includes both Pallas tile
+        # candidates AND the XLA-fused bf16 GEMM (XLA wins where its
+        # dequant fusion holds — 22us vs 42us on 4096^2 — but regresses
+        # 4x on shapes where fusion breaks and the dequantized weights
+        # materialize). The scan-timed race decides per weight shape.
+        choice = _pick_tiles(xm, qt)
+        if choice == ("xla",):
+            out = _qmm_jnp(xm, qt, compute_dtype=jnp.bfloat16)
+        else:
+            out = _qmm_pallas(xm, qt, choice=choice)
     elif on_tpu:
         out = _qmm_jnp(xm, qt, compute_dtype=jnp.bfloat16)
     else:
@@ -567,8 +570,8 @@ def _qmm_pallas_tiled(
     )(*args)
 
 
-def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
-    mp = x.shape[0]
+def _pick_tiles(x, qt: QTensor):
+    mp = _round_up(x.shape[0], _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
     key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
     if key in _TILE_CACHE:
@@ -614,7 +617,9 @@ def _pick_tiles(x, qt: QTensor) -> Tuple[int, int]:
     return best
 
 
-def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
+def _qmm_pallas(
+    x: jnp.ndarray, qt: QTensor, interpret: bool = False, choice=None
+):
     k, n = qt.shape
     rows, npad = qt.qs.shape
     kp = rows * 2 if qt.packed else rows
@@ -625,8 +630,12 @@ def _qmm_pallas(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
         tk, tn, inner = _tile_candidates(rows, npad, qt.packed)[0]
+    elif choice is not None and choice != ("xla",):
+        tk, tn, inner = choice
     else:
         tk, tn, inner = _pick_tiles(x, qt)
+        if (tk, tn, inner) == ("xla",):  # pragma: no cover - guarded above
+            tk, tn, inner = _tile_candidates(rows, npad, qt.packed)[0]
     out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret)
     return out[:m, :n]
 
