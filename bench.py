@@ -33,6 +33,10 @@ def main():
     n_ctx = int(os.environ.get("BENCH_CTX", "1024"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
     decode_tokens = int(os.environ.get("BENCH_DECODE", "128"))
+    mode = os.environ.get("BENCH_MODE", "single")  # single | batch
+
+    if mode == "batch":
+        return bench_batch(kind, n_ctx)
 
     spec = LLAMA_7B.replace(n_ctx=n_ctx)
     t0 = time.time()
@@ -67,6 +71,47 @@ def main():
         json.dumps(
             {
                 "metric": "llama7b_q4k_decode",
+                "value": round(tok_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+            }
+        )
+    )
+
+
+def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
+    """Aggregate serving throughput: `slots` concurrent greedy streams
+    through the continuous-batching scheduler (every stream shares each
+    weight read, so aggregate decode approaches slots x single-stream)."""
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.synthetic import LLAMA_7B, random_params
+    from ctransformers_tpu.ops import qmatmul as qm
+    from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
+
+    spec = LLAMA_7B.replace(n_ctx=n_ctx)
+    params = random_params(spec, seed=0, quantize=kind, exact=False)
+    qm.fuse_layer_params(params)
+    qm.autotune(params, batch_sizes=(slots,))
+    sched = BatchScheduler(spec, params, batch_slots=slots, kv_dtype=jnp.bfloat16)
+
+    prompts = [[(i * 37 + j) % spec.n_vocab for j in range(32)] for i in range(slots)]
+    # warm: 2 tokens each (compiles prefill + decode programs)
+    for p in prompts:
+        sched.submit(Request(tokens=p, max_new_tokens=2, sampler="greedy"))
+    sched.run()
+
+    t0 = time.time()
+    for p in prompts:
+        sched.submit(Request(tokens=p, max_new_tokens=n_new, sampler="greedy"))
+    results = sched.run()
+    dt = time.time() - t0
+    total = sum(len(toks) for toks in results.values())
+    tok_s = total / dt
+    print(
+        json.dumps(
+            {
+                "metric": "llama7b_q4k_batch8_decode",
                 "value": round(tok_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
