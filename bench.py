@@ -96,15 +96,15 @@ def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
     sched = BatchScheduler(spec, params, batch_slots=slots, kv_dtype=jnp.bfloat16)
 
     prompts = [[(i * 37 + j) % spec.n_vocab for j in range(32)] for i in range(slots)]
-    # warm: 2 tokens each (compiles prefill + decode programs)
+    # warm: compiles prefill + chunked decode programs
     for p in prompts:
         sched.submit(Request(tokens=p, max_new_tokens=2, sampler="greedy"))
-    sched.run()
+    sched.run(device_chunk=16)
 
     t0 = time.time()
     for p in prompts:
         sched.submit(Request(tokens=p, max_new_tokens=n_new, sampler="greedy"))
-    results = sched.run()
+    results = sched.run(device_chunk=16)  # device-side chunked decode
     dt = time.time() - t0
     total = sum(len(toks) for toks in results.values())
     tok_s = total / dt

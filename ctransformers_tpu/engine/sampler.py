@@ -235,3 +235,48 @@ def sample_extended(
     ss.top_p(c, top_p, 1)
     ss.temperature(c, temperature)
     return ss.sample_token(c, rng)
+
+
+def sample_device_batch(
+    logits,  # (B, V) f32
+    keys,  # (B,) PRNG keys (jax.random.split output, shape (B, 2))
+    last_tokens,  # (B, L) int32, -1 = empty
+    *,
+    top_k,  # (B,) int32
+    top_p,  # (B,) f32
+    temperature,  # (B,) f32
+    repetition_penalty,  # (B,) f32
+):
+    """Vectorized on-device sampler: every batch slot carries its own
+    sampling parameters (the continuous-batching scheduler's device-side
+    decode path). Greedy when temperature <= 0."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(lg, key, last, tk, tp, temp, rp):
+        greedy = jnp.argmax(lg).astype(jnp.int32)
+
+        def sampled(_):
+            l = lg / jnp.maximum(temp, 1e-6)
+            v = l.shape[0]
+            ids = jnp.where(last >= 0, last, v)
+            seen = jnp.zeros(v + 1, bool).at[ids].set(True)[:v]
+            pen = jnp.where(l > 0, l / rp, l * rp)
+            l2 = jnp.where(seen, pen, l)
+            vals = jax.lax.top_k(l2, v)[0]
+            kth = vals[jnp.clip(tk - 1, 0, v - 1)]
+            l2 = jnp.where(l2 < kth, -jnp.inf, l2)
+            svals = jnp.where(vals < kth, -jnp.inf, vals)
+            probs = jax.nn.softmax(svals)
+            cum = jnp.cumsum(probs)
+            keep = (cum - probs) < tp
+            thr = jnp.min(jnp.where(keep, svals, jnp.inf))
+            l2 = jnp.where(l2 < thr, -jnp.inf, l2)
+            return jax.random.categorical(key, l2).astype(jnp.int32)
+
+        return jax.lax.cond(temp <= 0.0, lambda _: greedy, sampled, None)
+
+    return jax.vmap(one)(
+        logits, keys, last_tokens, top_k, top_p, temperature,
+        repetition_penalty,
+    )

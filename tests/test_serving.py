@@ -177,3 +177,39 @@ def _greedy_from_params(spec, params, prompt, n):
         out.append(t)
         eng.eval([t])
     return out
+
+
+def test_device_chunked_decode_matches_greedy(tmp_path):
+    """run(device_chunk=K): greedy results match the host per-token loop,
+    including EOS truncation and mid-chunk finishes."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=121)
+    b = load_model(path, "gpt2")
+    prompts = [[5, 9, 2], [7, 1, 30, 8], [11]]
+    lens = [6, 3, 5]
+    expected = [_greedy_single(b, p, n) for p, n in zip(prompts, lens)]
+
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=n, sampler="greedy"))
+        for p, n in zip(prompts, lens)
+    ]
+    results = sched.run(device_chunk=4)
+    for uid, exp in zip(uids, expected):
+        assert results[uid] == exp, (uid, results[uid], exp)
+
+
+def test_device_chunked_decode_sampled_deterministic(tmp_path):
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=122)
+    b = load_model(path, "gpt2")
+
+    def run_once():
+        sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+        uid = sched.submit(
+            Request(tokens=[5, 9], max_new_tokens=6, seed=42, temperature=0.8)
+        )
+        return sched.run(device_chunk=3)[uid]
+
+    a, bb = run_once(), run_once()
+    assert a == bb and len(a) == 6
