@@ -264,151 +264,125 @@ class Engine:
         """Drop cached context beyond `n_past` (prefix reuse)."""
         self.n_past = min(self.n_past, n_past)
 
+    def eval_all(self, tokens, n_past: Optional[int] = None) -> np.ndarray:
+        """Full-logits eval: (T, V) logits for every input position (the
+        reference's logits_all mode, llama.h:144). Used by the perplexity
+        harness; chunked like eval() so memory stays bounded."""
+        if n_past is None:
+            n_past = self.n_past
+        tokens = list(tokens)
+        spec = self.spec
+        n_past = max(0, min(n_past, spec.n_ctx - len(tokens)))
+        outs = []
+        pos = 0
+        for size in self._chunks(len(tokens), spec.n_ctx):
+            chunk = np.asarray(tokens[pos : pos + size], np.int32).reshape(1, size)
+            chunk = np.broadcast_to(chunk, (self.batch, size))
+            key = ("all", size)
+            if key not in self._steps:
+                sharded = self.mesh is not None
 
-# ---------------------------------------------------------------------------
-# State snapshot / restore (reference: llama_copy_state_data /
-# llama_set_state_data, llama.cpp:5658-5951 — rng + logits + embedding +
-# live KV serialization). Here the state is a host pytree: only the
-# `n_past` live KV slots are saved, like the reference's kv_ntok trimming.
-# ---------------------------------------------------------------------------
+                def fn(params, toks, np_, kv, _spec=spec):
+                    if sharded:
+                        with qm.force_jnp():
+                            return forward(_spec, params, toks, np_, kv, all_logits=True)
+                    return forward(_spec, params, toks, np_, kv, all_logits=True)
 
+                self._steps[key] = jax.jit(fn, donate_argnums=(3,))
+            logits, hidden, self.kv = self._steps[key](
+                self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
+            )
+            outs.append(np.array(logits[0], np.float32))
+            pos += size
+        self.logits = outs[-1][-1].copy()
+        self.hidden = np.array(hidden[0], np.float32)
+        self.n_past = n_past + len(tokens)
+        return np.concatenate(outs, axis=0)
 
-def _engine_state(self) -> dict:
-    state = {
-        "n_past": self.n_past,
-        "logits": None if self.logits is None else np.asarray(self.logits),
-        "hidden": None if self.hidden is None else np.asarray(self.hidden),
-        "kv_dtype": str(np.dtype(jnp.zeros(0, self.kv_dtype).dtype)),
-    }
-    n = self.n_past
-    state["kv_k"] = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
-    state["kv_v"] = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
-    return state
+    # -- state snapshot / restore ---------------------------------------------
+    # Reference: llama_copy_state_data / llama_set_state_data,
+    # llama.cpp:5658-5951 — rng + logits + embedding + live KV serialization.
+    # Here the state is a host pytree: only the `n_past` live KV slots are
+    # saved, like the reference's kv_ntok trimming.
 
+    def save_state(self) -> dict:
+        state = {
+            "n_past": self.n_past,
+            "logits": None if self.logits is None else np.asarray(self.logits),
+            "hidden": None if self.hidden is None else np.asarray(self.hidden),
+            "kv_dtype": str(np.dtype(jnp.zeros(0, self.kv_dtype).dtype)),
+        }
+        n = self.n_past
+        state["kv_k"] = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
+        state["kv_v"] = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
+        return state
 
-def _engine_load_state(self, state: dict) -> None:
-    n = int(state["n_past"])
-    kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
-    if n:
-        k = jnp.asarray(state["kv_k"], self.kv_dtype)
-        v = jnp.asarray(state["kv_v"], self.kv_dtype)
-        kv = KVCache(
-            kv.k.at[:, :, :n].set(k),
-            kv.v.at[:, :, :n].set(v),
+    def load_state(self, state: dict) -> None:
+        n = int(state["n_past"])
+        kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
+        if n:
+            k = jnp.asarray(state["kv_k"], self.kv_dtype)
+            v = jnp.asarray(state["kv_v"], self.kv_dtype)
+            kv = KVCache(
+                kv.k.at[:, :, :n].set(k),
+                kv.v.at[:, :, :n].set(v),
+            )
+        self.kv = kv
+        self.n_past = n
+        self.logits = None if state["logits"] is None else np.array(state["logits"])
+        self.hidden = None if state["hidden"] is None else np.array(state["hidden"])
+
+    # -- timings / profiling --------------------------------------------------
+
+    def timings(self) -> dict:
+        """llama_get_timings-shaped counters (llama.cpp:6189-6226)."""
+        return {
+            "t_p_eval_ms": self.t_p_eval_us / 1e3,
+            "t_eval_ms": self.t_eval_us / 1e3,
+            "t_sample_ms": self.t_sample_us / 1e3,
+            "n_p_eval": max(1, self.n_p_eval),
+            "n_eval": max(1, self.n_eval),
+            "n_sample": max(1, self.n_sample),
+        }
+
+    def print_timings(self) -> None:
+        t = self.timings()
+        print(
+            f"prompt eval time = {t['t_p_eval_ms']:10.2f} ms / {t['n_p_eval']} tokens"
+            f" ({t['t_p_eval_ms']/t['n_p_eval']:.2f} ms per token)"
         )
-    self.kv = kv
-    self.n_past = n
-    self.logits = None if state["logits"] is None else np.array(state["logits"])
-    self.hidden = None if state["hidden"] is None else np.array(state["hidden"])
-
-
-Engine.save_state = _engine_state
-Engine.load_state = _engine_load_state
-
-
-def _engine_timings(self) -> dict:
-    """llama_get_timings-shaped counters (llama.cpp:6189-6226)."""
-    return {
-        "t_p_eval_ms": self.t_p_eval_us / 1e3,
-        "t_eval_ms": self.t_eval_us / 1e3,
-        "t_sample_ms": self.t_sample_us / 1e3,
-        "n_p_eval": max(1, self.n_p_eval),
-        "n_eval": max(1, self.n_eval),
-        "n_sample": max(1, self.n_sample),
-    }
-
-
-def _engine_print_timings(self) -> None:
-    t = self.timings()
-    print(
-        f"prompt eval time = {t['t_p_eval_ms']:10.2f} ms / {t['n_p_eval']} tokens"
-        f" ({t['t_p_eval_ms']/t['n_p_eval']:.2f} ms per token)"
-    )
-    print(
-        f"       eval time = {t['t_eval_ms']:10.2f} ms / {t['n_eval']} runs  "
-        f" ({t['t_eval_ms']/t['n_eval']:.2f} ms per token)"
-    )
-    print(
-        f"     sample time = {t['t_sample_ms']:10.2f} ms / {t['n_sample']} runs"
-    )
-
-
-Engine.timings = _engine_timings
-Engine.print_timings = _engine_print_timings
-
-
-def _engine_eval_all(self, tokens, n_past: Optional[int] = None) -> np.ndarray:
-    """Full-logits eval: (T, V) logits for every input position (the
-    reference's logits_all mode, llama.h:144). Used by the perplexity
-    harness; chunked like eval() so memory stays bounded."""
-    if n_past is None:
-        n_past = self.n_past
-    tokens = list(tokens)
-    spec = self.spec
-    n_past = max(0, min(n_past, spec.n_ctx - len(tokens)))
-    outs = []
-    pos = 0
-    for size in self._chunks(len(tokens), spec.n_ctx):
-        chunk = np.asarray(tokens[pos : pos + size], np.int32).reshape(1, size)
-        chunk = np.broadcast_to(chunk, (self.batch, size))
-        key = ("all", size)
-        if key not in self._steps:
-            sharded = self.mesh is not None
-
-            def fn(params, toks, np_, kv, _spec=spec):
-                if sharded:
-                    with qm.force_jnp():
-                        return forward(_spec, params, toks, np_, kv, all_logits=True)
-                return forward(_spec, params, toks, np_, kv, all_logits=True)
-
-            self._steps[key] = jax.jit(fn, donate_argnums=(3,))
-        logits, hidden, self.kv = self._steps[key](
-            self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
+        print(
+            f"       eval time = {t['t_eval_ms']:10.2f} ms / {t['n_eval']} runs  "
+            f" ({t['t_eval_ms']/t['n_eval']:.2f} ms per token)"
         )
-        outs.append(np.array(logits[0], np.float32))
-        pos += size
-    self.logits = outs[-1][-1].copy()
-    self.hidden = np.array(hidden[0], np.float32)
-    self.n_past = n_past + len(tokens)
-    return np.concatenate(outs, axis=0)
+        print(
+            f"     sample time = {t['t_sample_ms']:10.2f} ms / {t['n_sample']} runs"
+        )
 
+    def dump_timings_yaml(self, path: Optional[str] = None) -> str:
+        """YAML timing dump (reference: llama_dump_timing_info_yaml,
+        llama.cpp:6250-6282)."""
+        t = self.timings()
+        lines = ["timings:"]
+        for k in sorted(t):
+            lines.append(f"  {k}: {t[k]}")
+        out = "\n".join(lines) + "\n"
+        if path:
+            with open(path, "w") as f:
+                f.write(out)
+        return out
 
-Engine.eval_all = _engine_eval_all
+    def profile(self, logdir: str):
+        """JAX profiler trace context (the reference's GGML_PERF / XProf
+        equivalent): `with engine.profile('/tmp/trace'): engine.eval(...)`."""
+        import contextlib
 
+        @contextlib.contextmanager
+        def _ctx():
+            jax.profiler.start_trace(logdir)
+            try:
+                yield
+            finally:
+                jax.profiler.stop_trace()
 
-def _engine_profile(self, logdir: str):
-    """JAX profiler trace context (the reference's GGML_PERF / XProf
-    equivalent): `with engine.profile('/tmp/trace'): engine.eval(...)`."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _ctx():
-        import jax
-
-        jax.profiler.start_trace(logdir)
-        try:
-            yield
-        finally:
-            jax.profiler.stop_trace()
-
-    return _ctx()
-
-
-Engine.profile = _engine_profile
-
-
-def _engine_dump_timings_yaml(self, path: Optional[str] = None) -> str:
-    """YAML timing dump (reference: llama_dump_timing_info_yaml,
-    llama.cpp:6250-6282)."""
-    t = self.timings()
-    lines = ["timings:"]
-    for k in sorted(t):
-        lines.append(f"  {k}: {t[k]}")
-    out = "\n".join(lines) + "\n"
-    if path:
-        with open(path, "w") as f:
-            f.write(out)
-    return out
-
-
-Engine.dump_timings_yaml = _engine_dump_timings_yaml
+        return _ctx()

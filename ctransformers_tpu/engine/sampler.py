@@ -246,35 +246,47 @@ def sample_device_batch(
     top_p,  # (B,) f32
     temperature,  # (B,) f32
     repetition_penalty,  # (B,) f32
+    greedy_only: bool = False,  # STATIC: every slot is greedy (argmax only)
+    k_cap: int = 0,  # STATIC: max top_k across slots (bounds the sort), 0=full
 ):
     """Vectorized on-device sampler: every batch slot carries its own
     sampling parameters (the continuous-batching scheduler's device-side
-    decode path). Greedy when temperature <= 0."""
+    decode path). Greedy when temperature <= 0.
+
+    `greedy_only` and `k_cap` are STATIC fast-path hints the caller derives
+    host-side from the live request set: under vmap a lax.cond lowers to
+    select (both branches execute), so without them every token would pay a
+    full-vocab sort per slot even for greedy batches. `k_cap` must be >= the
+    largest per-slot top_k or the caller must pass 0 (full sort)."""
     import jax
     import jax.numpy as jnp
 
+    if greedy_only:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    v = logits.shape[-1]
+    n_sort = v if k_cap <= 0 or k_cap >= v else int(k_cap)
+
     def one(lg, key, last, tk, tp, temp, rp):
         greedy = jnp.argmax(lg).astype(jnp.int32)
-
-        def sampled(_):
-            l = lg / jnp.maximum(temp, 1e-6)
-            v = l.shape[0]
-            ids = jnp.where(last >= 0, last, v)
-            seen = jnp.zeros(v + 1, bool).at[ids].set(True)[:v]
-            pen = jnp.where(l > 0, l / rp, l * rp)
-            l2 = jnp.where(seen, pen, l)
-            vals = jax.lax.top_k(l2, v)[0]
-            kth = vals[jnp.clip(tk - 1, 0, v - 1)]
-            l2 = jnp.where(l2 < kth, -jnp.inf, l2)
-            svals = jnp.where(vals < kth, -jnp.inf, vals)
-            probs = jax.nn.softmax(svals)
-            cum = jnp.cumsum(probs)
-            keep = (cum - probs) < tp
-            thr = jnp.min(jnp.where(keep, svals, jnp.inf))
-            l2 = jnp.where(l2 < thr, -jnp.inf, l2)
-            return jax.random.categorical(key, l2).astype(jnp.int32)
-
-        return jax.lax.cond(temp <= 0.0, lambda _: greedy, sampled, None)
+        l = lg / jnp.maximum(temp, 1e-6)
+        ids = jnp.where(last >= 0, last, v)
+        seen = jnp.zeros(v + 1, bool).at[ids].set(True)[:v]
+        pen = jnp.where(l > 0, l / rp, l * rp)
+        l2 = jnp.where(seen, pen, l)
+        # only the top `n_sort` values can survive top-k (tk <= k_cap);
+        # everything below the kth is masked to -inf either way
+        vals = jax.lax.top_k(l2, n_sort)[0]
+        kth = vals[jnp.clip(tk - 1, 0, n_sort - 1)]
+        l2 = jnp.where(l2 < kth, -jnp.inf, l2)
+        svals = jnp.where(vals < kth, -jnp.inf, vals)
+        probs = jax.nn.softmax(svals)
+        cum = jnp.cumsum(probs)
+        keep = (cum - probs) < tp
+        thr = jnp.min(jnp.where(keep, svals, jnp.inf))
+        l2 = jnp.where(l2 < thr, -jnp.inf, l2)
+        tok = jax.random.categorical(key, l2).astype(jnp.int32)
+        return jnp.where(temp <= 0.0, greedy, tok)
 
     return jax.vmap(one)(
         logits, keys, last_tokens, top_k, top_p, temperature,

@@ -630,110 +630,98 @@ class LLM:
         self.eval(input, batch_size=batch_size, threads=threads)
         return list(self.embeddings)
 
+    # -- session save/load ---------------------------------------------------
+    # The reference engine's session files (magic GGSN + token history + full
+    # inference state, llama.cpp:5952-6032) as an .npz: reloading a session
+    # skips re-evaluating the saved prompt prefix.
 
-# ---------------------------------------------------------------------------
-# Session save/load — the reference engine's session files (magic GGSN +
-# token history + full inference state, llama.cpp:5952-6032) as an .npz:
-# reloading a session skips re-evaluating the saved prompt prefix.
-# ---------------------------------------------------------------------------
+    def save_session(self, path: str) -> None:
+        """Saves the evaluated context (tokens + KV cache + logits) to `path`."""
+        state = self._engine.save_state()
+        arrays = {
+            "tokens": np.asarray(self._context, np.int32),
+            "n_past": np.int64(state["n_past"]),
+            "kv_k": state["kv_k"],
+            "kv_v": state["kv_v"],
+        }
+        if state["logits"] is not None:
+            arrays["logits"] = state["logits"]
+        if state["hidden"] is not None:
+            arrays["hidden"] = state["hidden"]
+        np.savez_compressed(path, **arrays)
 
+    def load_session(self, path: str) -> List[int]:
+        """Restores a session; returns the restored token history."""
+        data = np.load(path)
+        state = {
+            "n_past": int(data["n_past"]),
+            "kv_k": data["kv_k"],
+            "kv_v": data["kv_v"],
+            "logits": data["logits"] if "logits" in data else None,
+            "hidden": data["hidden"] if "hidden" in data else None,
+        }
+        self._engine.load_state(state)
+        self._context = [int(t) for t in data["tokens"]]
+        return list(self._context)
 
-def _llm_save_session(self, path: str) -> None:
-    """Saves the evaluated context (tokens + KV cache + logits) to `path`."""
-    state = self._engine.save_state()
-    arrays = {
-        "tokens": np.asarray(self._context, np.int32),
-        "n_past": np.int64(state["n_past"]),
-        "kv_k": state["kv_k"],
-        "kv_v": state["kv_v"],
-    }
-    if state["logits"] is not None:
-        arrays["logits"] = state["logits"]
-    if state["hidden"] is not None:
-        arrays["hidden"] = state["hidden"]
-    np.savez_compressed(path, **arrays)
+    def generate_fast(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: Optional[int] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        temperature: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        last_n_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        reset: Optional[bool] = None,
+    ) -> str:
+        """High-throughput generation: the whole sample->eval loop runs on
+        device as one compiled program per N tokens (Engine.decode), instead
+        of the per-token host round trip of `__call__`. Sampling uses the
+        on-device sampler (same chain, jax PRNG — deterministic per seed but
+        not draw-identical to the host samplers). EOS and stop sequences are
+        applied after detokenization."""
+        config = self.config
+        max_new_tokens = get(max_new_tokens, config.max_new_tokens)
+        stop = get(stop, config.stop) or []
+        if isinstance(stop, str):
+            stop = [stop]
+        seed = get(seed, config.seed)
+        if seed is not None and seed < 0:
+            import time as _t
 
+            seed = int(_t.time())
+        last_n = get(last_n_tokens, config.last_n_tokens)
+        if last_n < 0:
+            last_n = self.context_length
 
-def _llm_load_session(self, path: str) -> List[int]:
-    """Restores a session; returns the restored token history."""
-    data = np.load(path)
-    state = {
-        "n_past": int(data["n_past"]),
-        "kv_k": data["kv_k"],
-        "kv_v": data["kv_v"],
-        "logits": data["logits"] if "logits" in data else None,
-        "hidden": data["hidden"] if "hidden" in data else None,
-    }
-    self._engine.load_state(state)
-    self._context = [int(t) for t in data["tokens"]]
-    return list(self._context)
-
-
-LLM.save_session = _llm_save_session
-LLM.load_session = _llm_load_session
-
-
-def _llm_generate_fast(
-    self,
-    prompt: str,
-    *,
-    max_new_tokens: Optional[int] = None,
-    top_k: Optional[int] = None,
-    top_p: Optional[float] = None,
-    temperature: Optional[float] = None,
-    repetition_penalty: Optional[float] = None,
-    last_n_tokens: Optional[int] = None,
-    seed: Optional[int] = None,
-    stop: Optional[Sequence[str]] = None,
-    reset: Optional[bool] = None,
-) -> str:
-    """High-throughput generation: the whole sample->eval loop runs on
-    device as one compiled program per N tokens (Engine.decode), instead of
-    the per-token host round trip of `__call__`. Sampling uses the
-    on-device sampler (same chain, jax PRNG — deterministic per seed but
-    not draw-identical to the host samplers). EOS and stop sequences are
-    applied after detokenization."""
-    config = self.config
-    max_new_tokens = get(max_new_tokens, config.max_new_tokens)
-    stop = get(stop, config.stop) or []
-    if isinstance(stop, str):
-        stop = [stop]
-    seed = get(seed, config.seed)
-    if seed is not None and seed < 0:
-        import time as _t
-
-        seed = int(_t.time())
-    last_n = get(last_n_tokens, config.last_n_tokens)
-    if last_n < 0:
-        last_n = self.context_length
-
-    tokens = self.tokenize(prompt)
-    tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
-    self.eval(tokens)
-    toks = self._engine.decode(
-        max_new_tokens,
-        top_k=get(top_k, config.top_k),
-        top_p=get(top_p, config.top_p),
-        temperature=get(temperature, config.temperature),
-        repetition_penalty=get(repetition_penalty, config.repetition_penalty),
-        last_tokens=self._context[-last_n:],
-        last_n=last_n,
-        seed=seed,
-    )
-    # EOS truncation (the device loop runs a fixed length)
-    for i, t in enumerate(toks):
-        if self.is_eos_token(t):
-            toks = toks[:i]
-            break
-    self._context.extend(int(t) for t in toks)
-    text = self.detokenize(toks)
-    if stop:
-        cut = min(
-            (text.find(s) for s in stop if s in text), default=-1
+        tokens = self.tokenize(prompt)
+        tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
+        self.eval(tokens)
+        toks = self._engine.decode(
+            max_new_tokens,
+            top_k=get(top_k, config.top_k),
+            top_p=get(top_p, config.top_p),
+            temperature=get(temperature, config.temperature),
+            repetition_penalty=get(repetition_penalty, config.repetition_penalty),
+            last_tokens=self._context[-last_n:],
+            last_n=last_n,
+            seed=seed,
         )
-        if cut >= 0:
-            text = text[:cut]
-    return text
-
-
-LLM.generate_fast = _llm_generate_fast
+        # EOS truncation (the device loop runs a fixed length)
+        for i, t in enumerate(toks):
+            if self.is_eos_token(t):
+                toks = toks[:i]
+                break
+        self._context.extend(int(t) for t in toks)
+        text = self.detokenize(toks)
+        if stop:
+            cut = min(
+                (text.find(s) for s in stop if s in text), default=-1
+            )
+            if cut >= 0:
+                text = text[:cut]
+        return text

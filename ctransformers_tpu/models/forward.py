@@ -328,8 +328,8 @@ def _attention_batched(
     layer: Params,
     x: jnp.ndarray,  # (B, T, D) normed input
     n_past: jnp.ndarray,  # (B,) int32 per-slot positions
-    k_cache: jnp.ndarray,  # (B, n_ctx, Hkv, dh)
-    v_cache: jnp.ndarray,
+    kv: "KVCache",  # full stacked cache (L, B, n_ctx, Hkv, dh)
+    il: int,
     angles: Optional[jnp.ndarray],  # (B, T, dh//2) per-slot rope angles
     active: jnp.ndarray,  # (B,) bool — inactive slots don't write KV
 ):
@@ -366,16 +366,19 @@ def _attention_batched(
         q = _rope_n_b(q, angles, spec.n_rot)
         k = _rope_n_b(k, angles, spec.n_rot)
 
-    # per-slot cache write; inactive slots write their current content back
-    def upd(cache, new, off, act):
-        cur = jax.lax.dynamic_slice(cache, (off, 0, 0), new.shape)
-        new = jnp.where(act, new, cur)
-        return jax.lax.dynamic_update_slice(cache, new, (off, 0, 0))
+    # per-slot cache write as an in-place scatter on the donated FULL
+    # (L, B, S, Hkv, dh) buffer — never rebuild the cache with jnp.stack
+    # (a per-step O(cache) copy, ~4 GB at B=8 for llama-7B). Inactive
+    # slots scatter to out-of-bounds positions and are dropped.
+    bidx = jnp.arange(b)[:, None]  # (B, 1)
+    wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
+    wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
+    kv = KVCache(
+        kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
+        kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
+    )
 
-    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), n_past, active)
-    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), n_past, active)
-
-    kf, vf = k_cache, v_cache
+    kf, vf = kv.k[il], kv.v[il]
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
@@ -402,7 +405,7 @@ def _attention_batched(
     out = mm(ctx, layer["wo"])
     if layer.get("bo") is not None:
         out = out + layer["bo"]
-    return out, k_cache, v_cache
+    return out, kv
 
 
 def _rope_i_b(x, angles):
@@ -465,14 +468,11 @@ def forward_batched(
         )
         angles = flat.reshape(b, t, -1)
 
-    new_k, new_v = [], []
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, k_c, v_c = _attention_batched(
-            spec, layer, ln1, n_past, kv.k[il], kv.v[il], angles, active
+        attn_out, kv = _attention_batched(
+            spec, layer, ln1, n_past, kv, il, angles, active
         )
-        new_k.append(k_c)
-        new_v.append(v_c)
         if spec.parallel_residual:
             if spec.shared_parallel_ln or "ln2_g" not in layer:
                 mlp_in = ln1
@@ -497,4 +497,4 @@ def forward_batched(
     logits = mm(last, head)
     if params.get("lm_head_b") is not None:
         logits = logits + params["lm_head_b"]
-    return logits, last, KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    return logits, last, kv

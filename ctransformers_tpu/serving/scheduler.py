@@ -49,6 +49,7 @@ class Sequence:
     prompt_len: int
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    _key: Optional[object] = None  # per-request jax PRNG key (chunked decode)
 
     @property
     def all_tokens(self) -> List[int]:
@@ -83,6 +84,7 @@ class BatchScheduler:
         self.finished: Dict[int, Sequence] = {}  # uid -> sequence
         self._uid = 0
         self._logits = np.zeros((batch_slots, spec.n_vocab), np.float32)
+        self._chunk_fns = {}
 
         spec_ = spec
 
@@ -211,146 +213,138 @@ class BatchScheduler:
                 self.n_past[slot] = 0
         return done_uids
 
-    def run(self) -> Dict[int, List[int]]:
-        """Drive until all submitted requests complete; uid -> generated."""
+    # -- device-side chunked decode -----------------------------------------
+    # K tokens per dispatch for the whole batch. The per-token step() loop
+    # pays a host round trip (logits transfer + Python sampling) every token
+    # — fine on a local chip, ruinous over a remote tunnel. Chunked mode runs
+    # [sample -> forward_batched] K times in one lax.scan with the vectorized
+    # per-slot device sampler; the host only intervenes every K tokens
+    # (EOS/limit handling, admission). Sampling uses jax PRNG (deterministic
+    # per request seed, not draw-identical to the host chains) — opt in via
+    # run(device_chunk=K).
+
+    def _decode_chunk_fn(self, k: int, greedy_only: bool = False, k_cap: int = 0):
+        key_ = ("chunk", k, greedy_only, k_cap)
+        if key_ not in self._chunk_fns:
+            spec = self.spec
+            from ..engine.sampler import sample_device_batch
+
+            def run(params, kv, logits, n_past, active, keys, last, cfg):
+                top_k, top_p, temp, rp = cfg
+
+                def body(carry, _):
+                    kv, logits, n_past, keys, last = carry
+                    split = jax.vmap(jax.random.split)(keys)
+                    keys2 = split[:, 0]
+                    subs = split[:, 1]
+                    toks = sample_device_batch(
+                        logits, subs, last,
+                        top_k=top_k, top_p=top_p, temperature=temp,
+                        repetition_penalty=rp,
+                        greedy_only=greedy_only, k_cap=k_cap,
+                    )
+                    last = jnp.roll(last, -1, axis=1).at[:, -1].set(toks)
+                    lg, _, kv = forward_batched(
+                        spec, params, toks[:, None], n_past, kv, active
+                    )
+                    n_past = n_past + active.astype(n_past.dtype)
+                    return (kv, lg, n_past, keys2, last), toks
+
+                (kv, logits, n_past, keys, last), toks = jax.lax.scan(
+                    body, (kv, logits, n_past, keys, last), None, length=k
+                )
+                return toks, logits, kv, n_past, keys, last
+
+            self._chunk_fns[key_] = jax.jit(run, donate_argnums=(1,))
+        return self._chunk_fns[key_]
+
+    def step_chunk(self, k: int = 16) -> List[int]:
+        """Admit, then decode up to `k` tokens for all active slots on device.
+
+        Returns uids finished during this chunk."""
+        self._admit()
+        if not self.active:
+            return []
+        B = self.slots
+        active = np.zeros(B, bool)
+        cfg = [np.zeros(B, t) for t in (np.int32, np.float32, np.float32, np.float32)]
+        last = np.full((B, 64), -1, np.int32)
+        for slot, seq in self.active.items():
+            r = seq.request
+            active[slot] = True
+            cfg[0][slot] = r.top_k if r.top_k > 0 else self.spec.n_vocab
+            cfg[1][slot] = r.top_p
+            cfg[2][slot] = 0.0 if r.sampler == "greedy" else r.temperature
+            cfg[3][slot] = r.repetition_penalty
+            lt = seq.all_tokens[-64:]
+            if lt:
+                last[slot, -len(lt):] = lt
+            if seq._key is None:
+                seq._key = jax.random.PRNGKey(
+                    samplers._resolve_seed(r.seed) & 0x7FFFFFFF
+                )
+        keys = jnp.stack([
+            self.active[slot]._key if slot in self.active else jax.random.PRNGKey(0)
+            for slot in range(B)
+        ])
+
+        # static fast-path hints (see sample_device_batch): all-greedy skips
+        # sampling entirely; otherwise bound the per-slot sort to the largest
+        # live top_k (bucketed to limit compile-cache churn)
+        greedy_only = all(cfg[2][s.slot] <= 0.0 for s in self.active.values())
+        k_max = int(cfg[0][[s.slot for s in self.active.values()]].max())
+        k_cap = 0
+        if not greedy_only and k_max < self.spec.n_vocab:
+            k_cap = 1 << max(6, (k_max - 1).bit_length())  # >=64, pow2
+            if k_cap >= self.spec.n_vocab:
+                k_cap = 0
+
+        run = self._decode_chunk_fn(k, greedy_only, k_cap)
+        toks, logits, self.kv, n_past, keys, _ = run(
+            self.params,
+            self.kv,
+            jnp.asarray(self._logits.copy()),
+            jnp.asarray(self.n_past.copy()),
+            jnp.asarray(active),
+            keys,
+            jnp.asarray(last),
+            tuple(jnp.asarray(c) for c in cfg),
+        )
+        toks = np.asarray(toks)  # (k, B)
+        self._logits = np.array(logits, np.float32)  # writable host copy
+        self.n_past = np.array(n_past, np.int32)
+        keys = np.asarray(keys)
+
+        done_uids = []
+        for slot, seq in list(self.active.items()):
+            seq._key = jnp.asarray(keys[slot])
+            r = seq.request
+            for t in toks[:, slot]:
+                t = int(t)
+                if r.eos_token_id is not None and t == r.eos_token_id:
+                    seq.done = True
+                    break
+                seq.generated.append(t)
+                if len(seq.generated) >= r.max_new_tokens:
+                    seq.done = True
+                    break
+            if seq.done or self.n_past[slot] >= self.spec.n_ctx - 1:
+                seq.done = True
+                done_uids.append(seq.uid)
+                self.finished[seq.uid] = seq
+                del self.active[slot]
+                self.free.append(slot)
+                self.n_past[slot] = 0
+        return done_uids
+
+    def run(self, device_chunk: Optional[int] = None) -> Dict[int, List[int]]:
+        """Drive until all requests complete; uid -> generated tokens.
+
+        device_chunk=K decodes K tokens per dispatch on device (see
+        step_chunk); None keeps the exact per-token host sampling."""
         while self.active or self.waiting:
-            self.step()
+            if device_chunk:
+                self.step_chunk(device_chunk)
+            else:
+                self.step()
         return {uid: seq.generated for uid, seq in self.finished.items()}
-
-
-# ---------------------------------------------------------------------------
-# Device-side chunked decode: K tokens per dispatch for the whole batch.
-# The per-token step() loop pays a host round trip (logits transfer +
-# Python sampling) every token — fine on a local chip, ruinous over a
-# remote tunnel. Chunked mode runs [sample -> forward_batched] K times in
-# one lax.scan with the vectorized per-slot device sampler; the host only
-# intervenes every K tokens (EOS/limit handling, admission). Sampling uses
-# jax PRNG (deterministic per request seed, not draw-identical to the host
-# chains) — opt in via BatchScheduler.run(device_chunk=K).
-# ---------------------------------------------------------------------------
-
-
-def _sched_decode_chunk_fn(self, k: int):
-    key_ = ("chunk", k)
-    if key_ not in self._chunk_fns:
-        spec = self.spec
-        from ..engine.sampler import sample_device_batch
-
-        def run(params, kv, logits, n_past, active, keys, last, cfg):
-            top_k, top_p, temp, rp = cfg
-
-            def body(carry, _):
-                kv, logits, n_past, keys, last = carry
-                import jax as _jax
-
-                split = _jax.vmap(_jax.random.split)(keys)
-                keys2 = split[:, 0]
-                subs = split[:, 1]
-                toks = sample_device_batch(
-                    logits, subs, last,
-                    top_k=top_k, top_p=top_p, temperature=temp,
-                    repetition_penalty=rp,
-                )
-                last = jnp.roll(last, -1, axis=1).at[:, -1].set(toks)
-                lg, _, kv = forward_batched(
-                    spec, params, toks[:, None], n_past, kv, active
-                )
-                n_past = n_past + active.astype(n_past.dtype)
-                return (kv, lg, n_past, keys2, last), toks
-
-            (kv, logits, n_past, keys, last), toks = jax.lax.scan(
-                body, (kv, logits, n_past, keys, last), None, length=k
-            )
-            return toks, logits, kv, n_past, keys, last
-
-        self._chunk_fns[key_] = jax.jit(run, donate_argnums=(1,))
-    return self._chunk_fns[key_]
-
-
-def _sched_step_chunk(self, k: int = 16):
-    """Admit, then decode up to `k` tokens for all active slots on device.
-
-    Returns uids finished during this chunk."""
-    self._admit()
-    if not self.active:
-        return []
-    if not hasattr(self, "_chunk_fns"):
-        self._chunk_fns = {}
-    B = self.slots
-    active = np.zeros(B, bool)
-    cfg = [np.zeros(B, t) for t in (np.int32, np.float32, np.float32, np.float32)]
-    last = np.full((B, 64), -1, np.int32)
-    for slot, seq in self.active.items():
-        r = seq.request
-        active[slot] = True
-        cfg[0][slot] = r.top_k if r.top_k > 0 else self.spec.n_vocab
-        cfg[1][slot] = r.top_p
-        cfg[2][slot] = 0.0 if r.sampler == "greedy" else r.temperature
-        cfg[3][slot] = r.repetition_penalty
-        lt = seq.all_tokens[-64:]
-        if lt:
-            last[slot, -len(lt):] = lt
-        if not hasattr(seq, "_key") or seq._key is None:
-            seq._key = jax.random.PRNGKey(
-                samplers._resolve_seed(r.seed) & 0x7FFFFFFF
-            )
-    keys = jnp.stack([
-        self.active[slot]._key if slot in self.active else jax.random.PRNGKey(0)
-        for slot in range(B)
-    ])
-
-    run = self._decode_chunk_fn(k)
-    toks, logits, self.kv, n_past, keys, _ = run(
-        self.params,
-        self.kv,
-        jnp.asarray(self._logits.copy()),
-        jnp.asarray(self.n_past.copy()),
-        jnp.asarray(active),
-        keys,
-        jnp.asarray(last),
-        tuple(jnp.asarray(c) for c in cfg),
-    )
-    toks = np.asarray(toks)  # (k, B)
-    self._logits = np.array(logits, np.float32)  # writable host copy
-    self.n_past = np.array(n_past, np.int32)
-    keys = np.asarray(keys)
-
-    done_uids = []
-    for slot, seq in list(self.active.items()):
-        seq._key = jnp.asarray(keys[slot])
-        r = seq.request
-        for t in toks[:, slot]:
-            t = int(t)
-            if r.eos_token_id is not None and t == r.eos_token_id:
-                seq.done = True
-                break
-            seq.generated.append(t)
-            if len(seq.generated) >= r.max_new_tokens:
-                seq.done = True
-                break
-        if seq.done or self.n_past[slot] >= self.spec.n_ctx - 1:
-            seq.done = True
-            done_uids.append(seq.uid)
-            self.finished[seq.uid] = seq
-            del self.active[slot]
-            self.free.append(slot)
-            self.n_past[slot] = 0
-    return done_uids
-
-
-def _sched_run(self, device_chunk: Optional[int] = None):
-    """Drive until all requests complete; uid -> generated tokens.
-
-    device_chunk=K decodes K tokens per dispatch on device (see above);
-    None keeps the exact per-token host sampling."""
-    while self.active or self.waiting:
-        if device_chunk:
-            self.step_chunk(device_chunk)
-        else:
-            self.step()
-    return {uid: seq.generated for uid, seq in self.finished.items()}
-
-
-BatchScheduler._decode_chunk_fn = _sched_decode_chunk_fn
-BatchScheduler.step_chunk = _sched_step_chunk
-BatchScheduler.run = _sched_run

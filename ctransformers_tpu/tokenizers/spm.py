@@ -12,7 +12,7 @@ U+2581 (llama.cpp:3044-3050, 3406-3412).
 from __future__ import annotations
 
 import heapq
-from typing import List
+from typing import Dict, List, Tuple
 
 SPACE_ESCAPE = "▁"
 
@@ -21,20 +21,16 @@ class SPMTokenizer:
     def __init__(self, vocab):
         self.vocab = vocab  # GGUFVocab: piece_to_id (str keys) + scores
 
-    def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
+    def _merge(self, raw: str) -> Tuple[List[str], List[int], Dict]:
+        """Run the bigram-merge loop over `raw`; returns (symbols, next-links,
+        merge history). Shared by the GGUF and legacy tokenizers — they
+        differ only in input escaping and in unmatched-symbol fallback."""
         v = self.vocab
-        out: List[int] = []
-        if add_bos_token and v.bos_id >= 0:
-            out.append(v.bos_id)
-        if not text:
-            return out
-        raw = (" " + text).replace(" ", SPACE_ESCAPE)
-
         syms: List[str] = list(raw)  # UTF-8 chars == codepoints here
         n = len(syms)
         prev = list(range(-1, n - 1))
         nxt = [i + 1 if i + 1 < n else -1 for i in range(n)]
-        rev_merge = {}
+        rev_merge: Dict[str, Tuple[int, int]] = {}
         heap: list = []
         counter = 0  # tie-break stability for equal (score, left)
 
@@ -71,6 +67,18 @@ class SPMTokenizer:
             try_add(prev[left], left)
             try_add(left, nxt[left])
 
+        return syms, nxt, rev_merge
+
+    def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
+        v = self.vocab
+        out: List[int] = []
+        if add_bos_token and v.bos_id >= 0:
+            out.append(v.bos_id)
+        if not text:
+            return out
+        raw = (" " + text).replace(" ", SPACE_ESCAPE)
+        syms, nxt, rev_merge = self._merge(raw)
+
         def resegment(i: int) -> None:
             t = syms[i]
             tid = v.piece_to_id.get(t)
@@ -101,8 +109,9 @@ class SPMTokenizer:
 class SPMTokenizerLegacy(SPMTokenizer):
     """Pre-GGUF llama tokenizer (llama-ggml.cpp:1967-2070): same bigram
     merge, but NO leading-space prepend, NO U+2581 escaping (old files
-    store pieces in display form with real spaces), and byte fallback
-    looks up raw single-byte pieces instead of <0xXX> entries."""
+    store pieces in display form with real spaces), NO merge-history
+    resegmentation, and byte fallback looks up raw single-byte pieces
+    instead of <0xXX> entries."""
 
     def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
         v = self.vocab
@@ -111,52 +120,7 @@ class SPMTokenizerLegacy(SPMTokenizer):
             out.append(v.bos_id)
         if not text:
             return out
-        saved = text
-        # reuse the parent merge loop by bypassing its escaping: call the
-        # core directly on raw text
-        toks = self._tokenize_raw(saved)
-        out.extend(toks)
-        return out
-
-    def _tokenize_raw(self, raw: str) -> List[int]:
-        v = self.vocab
-        out: List[int] = []
-        syms: List[str] = list(raw)
-        n = len(syms)
-        prev = list(range(-1, n - 1))
-        nxt = [i + 1 if i + 1 < n else -1 for i in range(n)]
-        heap: list = []
-        counter = 0
-
-        import heapq
-
-        def try_add(left: int, right: int) -> None:
-            nonlocal counter
-            if left == -1 or right == -1:
-                return
-            t = syms[left] + syms[right]
-            tid = v.piece_to_id.get(t)
-            if tid is None or tid >= len(v):
-                return
-            heapq.heappush(heap, (-v.scores[tid], left, counter, right, len(t)))
-            counter += 1
-
-        for i in range(1, n):
-            try_add(i - 1, i)
-        while heap:
-            _, left, _, right, size = heapq.heappop(heap)
-            if not syms[left] or not syms[right]:
-                continue
-            if len(syms[left]) + len(syms[right]) != size:
-                continue
-            syms[left] += syms[right]
-            syms[right] = ""
-            nxt[left] = nxt[right]
-            if nxt[right] >= 0:
-                prev[nxt[right]] = left
-            try_add(prev[left], left)
-            try_add(left, nxt[left])
-
+        syms, nxt, _ = self._merge(text)
         i = 0
         while i != -1:
             t = syms[i]
