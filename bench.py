@@ -62,6 +62,10 @@ def main():
     t4 = time.time()
     print(f"# decode compile+first {t4-t3:.1f}s", file=sys.stderr)
 
+    # rewind so the timed run repeats the SAME (n, attention-window)
+    # program — without this the second call crosses into the next
+    # round_window bucket and the timer measures a recompile
+    engine.rewind(prompt_len)
     t0 = time.time()
     engine.decode(decode_tokens, temperature=0.0, repetition_penalty=1.0)
     dt = time.time() - t0

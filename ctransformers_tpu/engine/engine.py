@@ -94,20 +94,22 @@ class Engine:
 
     # -- compiled steps -----------------------------------------------------
 
-    def _step(self, t: int):
-        if t not in self._steps:
+    def _step(self, t: int, window: Optional[int] = None):
+        if (t, window) not in self._steps:
             spec = self.spec
             sharded = self.mesh is not None
 
             def fn(params, tokens, n_past, kv):
                 if sharded:
                     with qm.force_jnp():
-                        return forward(spec, params, tokens, n_past, kv)
-                return forward(spec, params, tokens, n_past, kv)
+                        return forward(spec, params, tokens, n_past, kv,
+                                       attn_window=window)
+                return forward(spec, params, tokens, n_past, kv,
+                               attn_window=window)
 
             # donate the KV cache so XLA updates it in place
-            self._steps[t] = jax.jit(fn, donate_argnums=(3,))
-        return self._steps[t]
+            self._steps[(t, window)] = jax.jit(fn, donate_argnums=(3,))
+        return self._steps[(t, window)]
 
     @staticmethod
     def _chunks(n: int, cap: int) -> List[int]:
@@ -137,13 +139,17 @@ class Engine:
         import time as _time
 
         t0 = _time.perf_counter()
+        from ..models.forward import round_window
+
         pos = 0
         for size in self._chunks(len(tokens), self.spec.n_ctx):
             chunk = np.asarray(
                 tokens[pos : pos + size], np.int32
             ).reshape(1, size)
             chunk = np.broadcast_to(chunk, (self.batch, size))
-            step = self._step(size)
+            step = self._step(
+                size, round_window(n_past + pos + size, self.spec.n_ctx)
+            )
             logits, hidden, self.kv = step(
                 self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
             )
@@ -163,9 +169,11 @@ class Engine:
 
     # -- fused on-device decode loop ----------------------------------------
 
-    def _decode_loop(self, n: int, cfg: tuple):
-        """Compiled scan generating `n` tokens on device (one dispatch)."""
-        key_ = (n,) + cfg
+    def _decode_loop(self, n: int, cfg: tuple, window: Optional[int] = None):
+        """Compiled scan generating `n` tokens on device (one dispatch).
+        `window` statically bounds attention reads to the live context
+        (round_window bucket covering n_past + n)."""
+        key_ = (n, window) + cfg
         if key_ in self._loops:
             return self._loops[key_]
         spec = self.spec
@@ -195,7 +203,8 @@ class Engine:
                 )
                 last = jnp.roll(last, -1).at[-1].set(tok)
                 toks = jnp.broadcast_to(tok, (kv.k.shape[1], 1))
-                lg, _, kv = forward(spec, params, toks, n_past, kv)
+                lg, _, kv = forward(spec, params, toks, n_past, kv,
+                                    attn_window=window)
                 return (kv, lg[0], n_past + 1, key, last), tok
 
             (kv, logits, n_past, key, last), toks = jax.lax.scan(
@@ -237,7 +246,10 @@ class Engine:
 
         t0 = _time.perf_counter()
         cfg = (int(top_k), float(top_p), float(temperature), float(repetition_penalty))
-        run = self._decode_loop(n, cfg)
+        from ..models.forward import round_window
+
+        window = round_window(self.n_past + n, self.spec.n_ctx)
+        run = self._decode_loop(n, cfg, window)
         toks, logits, self.kv = run(
             self.params,
             self.kv,

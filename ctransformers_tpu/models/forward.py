@@ -79,6 +79,7 @@ def _attention(
     kv: "KVCache",  # full stacked cache (L, B, n_ctx, Hkv, dh)
     il: int,
     angles: Optional[jnp.ndarray],  # (T, dh//2) rope angles or None
+    window: Optional[int] = None,  # static live-context bound (see round_window)
 ) -> Tuple[jnp.ndarray, "KVCache"]:
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
@@ -126,8 +127,16 @@ def _attention(
     )
     k_cache = kv.k[il]
     v_cache = kv.v[il]
+    chunked = _use_chunked_attention(spec, t)
+    if window is not None and window < k_cache.shape[1]:
+        if chunked:  # the chunked path reshapes by its chunk size
+            c = _attn_chunk()
+            window = min(-(-window // c) * c, k_cache.shape[1])
+        if window < k_cache.shape[1]:
+            k_cache = k_cache[:, :window]
+            v_cache = v_cache[:, :window]
 
-    if _use_chunked_attention(spec, t):
+    if chunked:
         ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past)
     else:
         ctx = _full_scores(spec, q, k_cache, v_cache, n_past)
@@ -162,6 +171,21 @@ def _attn_chunk() -> int:
     return int(os.environ.get("CT_ATTN_CHUNK", _ATTN_CHUNK))
 
 
+ATTN_WINDOW_STEP = 256
+
+
+def round_window(pos: int, n_ctx: int) -> int:
+    """Static attention-window bucket covering positions [0, pos): the next
+    ATTN_WINDOW_STEP multiple, clamped to n_ctx. Attention then reads only
+    the bucket's cache prefix — a STATIC slice, so cost scales with live
+    context while shapes stay compile-time constant (one program per
+    bucket, like the engine's power-of-two prefill chunks). Measured on
+    v5e this beats lax.cond chunk-skipping, whose per-layer scan overhead
+    ate the saved HBM reads."""
+    w = (max(int(pos), 1) + ATTN_WINDOW_STEP - 1) // ATTN_WINDOW_STEP
+    return min(w * ATTN_WINDOW_STEP, n_ctx)
+
+
 def _full_scores(spec, q, k_cache, v_cache, n_past):
     """Materialized (B, H, T, S) attention (decode / short prefill).
 
@@ -175,6 +199,7 @@ def _full_scores(spec, q, k_cache, v_cache, n_past):
         kf = jnp.repeat(kf, rep, axis=2)
         vf = jnp.repeat(vf, rep, axis=2)
 
+    s = k_cache.shape[1]  # may be a static window < n_ctx
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     scores = jnp.einsum(
         "bthd,bshd->bhts",
@@ -184,10 +209,10 @@ def _full_scores(spec, q, k_cache, v_cache, n_past):
     ) * scale
 
     if spec.alibi_bias_max > 0:
-        scores = scores + alibi_bias(h, spec.alibi_bias_max, spec.n_ctx)[None]
+        scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
 
     qpos = n_past + jnp.arange(t)[:, None]  # (T, 1)
-    kpos = jnp.arange(spec.n_ctx)[None, :]  # (1, S)
+    kpos = jnp.arange(s)[None, :]  # (1, S)
     mask = kpos <= qpos  # causal over absolute positions
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
 
@@ -206,7 +231,8 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past):
     b, t = q.shape[:2]
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
     c = _attn_chunk()
-    n_chunks = spec.n_ctx // c
+    n_chunks = k_cache.shape[1] // c  # cache may be a static window
+
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
 
     kc = k_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
@@ -265,10 +291,15 @@ def forward(
     n_past: jnp.ndarray,  # scalar int32
     kv: KVCache,
     all_logits: bool = False,  # static: logits for every position (ppl eval)
+    attn_window: Optional[int] = None,  # static live-context bound
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Returns (last-token logits (B, V), last hidden state (B, D), new kv);
     with all_logits=True the first output is (B, T, V) (the reference's
-    logits_all / llama_eval_internal full-logits mode)."""
+    logits_all / llama_eval_internal full-logits mode).
+
+    `attn_window` (static, from round_window) bounds attention reads to the
+    cache prefix [0, attn_window) — the caller guarantees every live
+    position is below it."""
     b, t = tokens.shape
     x = params["wte"][tokens]  # (B, T, D)
     if spec.learned_pos:
@@ -285,7 +316,9 @@ def forward(
 
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, kv = _attention(spec, layer, ln1, n_past, kv, il, angles)
+        attn_out, kv = _attention(
+            spec, layer, ln1, n_past, kv, il, angles, attn_window
+        )
 
         if spec.parallel_residual:
             # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
@@ -332,6 +365,8 @@ def _attention_batched(
     il: int,
     angles: Optional[jnp.ndarray],  # (B, T, dh//2) per-slot rope angles
     active: jnp.ndarray,  # (B,) bool — inactive slots don't write KV
+    window: Optional[int] = None,  # static live-context bound
+    defer: bool = False,  # static: defer the cache write to the caller (t==1)
 ):
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
@@ -366,6 +401,62 @@ def _attention_batched(
         q = _rope_n_b(q, angles, spec.n_rot)
         k = _rope_n_b(k, angles, spec.n_rot)
 
+    if defer:
+        # DEFERRED cache write (decode, t == 1): attention reads the stale
+        # cache (strict mask — this token's slot is not written yet) plus
+        # an explicit self term; the caller writes ALL layers' k/v with one
+        # scatter after the layer loop (64 per-layer scatters measured
+        # ~3.3 ms/step at B=8).
+        kf, vf = kv.k[il], kv.v[il]
+        if window is not None and window < kf.shape[1]:
+            kf = kf[:, :window]
+            vf = vf[:, :window]
+        s = kf.shape[1]
+        k_self, v_self = k, v
+        if hkv != h:
+            rep = h // hkv
+            kf = jnp.repeat(kf, rep, axis=2)
+            vf = jnp.repeat(vf, rep, axis=2)
+            k_self = jnp.repeat(k_self, rep, axis=2)
+            v_self = jnp.repeat(v_self, rep, axis=2)
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q.astype(kf.dtype), kf,
+            preferred_element_type=jnp.float32,
+        ) * scale  # (B, H, 1, S)
+        qpos = n_past  # (B,) — t == 1
+        if spec.alibi_bias_max > 0:
+            from ..ops.alibi import alibi_slopes
+
+            slopes = jnp.asarray(alibi_slopes(h, spec.alibi_bias_max))
+            kpos_f = jnp.arange(s, dtype=jnp.float32)
+            scores = scores + slopes[None, :, None, None] * kpos_f[None, None, None, :]
+            self_bias = slopes[None, :] * qpos.astype(jnp.float32)[:, None]  # (B, H)
+        mask = jnp.arange(s)[None, :] < qpos[:, None]  # (B, S), strict
+        scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+
+        self_score = (
+            (q.astype(jnp.float32) * k_self.astype(jnp.float32)).sum(-1)
+            * scale
+        ).transpose(0, 2, 1)[:, :, :, None]  # (B, H, 1, 1)
+        if spec.alibi_bias_max > 0:
+            self_score = self_score + self_bias[:, :, None, None]
+        all_scores = jnp.concatenate([scores, self_score], axis=-1)
+        probs = jax.nn.softmax(all_scores, axis=-1)
+        ctx = jnp.einsum(
+            "bhts,bshd->bthd", probs[..., :s].astype(vf.dtype), vf,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        ctx = ctx + probs[..., s:].transpose(0, 2, 1, 3) * v_self.astype(
+            jnp.float32
+        )
+        ctx = ctx.reshape(b, t, h * dh)
+        out = mm(ctx, layer["wo"])
+        if layer.get("bo") is not None:
+            out = out + layer["bo"]
+        return out, (k, v)
+
     # per-slot cache write as an in-place scatter on the donated FULL
     # (L, B, S, Hkv, dh) buffer — never rebuild the cache with jnp.stack
     # (a per-step O(cache) copy, ~4 GB at B=8 for llama-7B). Inactive
@@ -379,6 +470,10 @@ def _attention_batched(
     )
 
     kf, vf = kv.k[il], kv.v[il]
+    if window is not None and window < kf.shape[1]:
+        kf = kf[:, :window]
+        vf = vf[:, :window]
+    s = kf.shape[1]
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
@@ -390,10 +485,10 @@ def _attention_batched(
         preferred_element_type=jnp.float32,
     ) * scale
     if spec.alibi_bias_max > 0:
-        scores = scores + alibi_bias(h, spec.alibi_bias_max, spec.n_ctx)[None]
+        scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
 
     qpos = n_past[:, None, None] + jnp.arange(t)[None, :, None]  # (B, T, 1)
-    kpos = jnp.arange(spec.n_ctx)[None, None, :]
+    kpos = jnp.arange(s)[None, None, :]
     mask = kpos <= qpos  # (B, T, S)
     scores = jnp.where(mask[:, None], scores, -jnp.inf)
 
@@ -447,6 +542,7 @@ def forward_batched(
     n_past: jnp.ndarray,  # (B,) int32 per-slot positions
     kv: KVCache,
     active: Optional[jnp.ndarray] = None,  # (B,) bool
+    attn_window: Optional[int] = None,  # static live-context bound
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Per-slot-position forward: every sequence in the batch is at its own
     n_past. Returns (logits (B, V), hidden (B, D), kv)."""
@@ -468,11 +564,18 @@ def forward_batched(
         )
         angles = flat.reshape(b, t, -1)
 
+    defer = t == 1  # decode: batch all layers' cache writes into 1 scatter
+    new_kv = []
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, kv = _attention_batched(
-            spec, layer, ln1, n_past, kv, il, angles, active
+        attn_out, kv_out = _attention_batched(
+            spec, layer, ln1, n_past, kv, il, angles, active, attn_window,
+            defer,
         )
+        if defer:
+            new_kv.append(kv_out)
+        else:
+            kv = kv_out
         if spec.parallel_residual:
             if spec.shared_parallel_ln or "ln2_g" not in layer:
                 mlp_in = ln1
@@ -489,6 +592,18 @@ def forward_batched(
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + ff
+
+    if defer:
+        # one scatter for ALL layers' deferred k/v (values are tiny:
+        # (L, B, 1, Hkv, dh)); inactive slots drop via OOB positions
+        bidx = jnp.arange(b)[:, None]
+        wpos = jnp.where(active[:, None], positions, spec.n_ctx)  # (B, 1)
+        k_all = jnp.stack([k.astype(kv.k.dtype) for k, _ in new_kv])
+        v_all = jnp.stack([v.astype(kv.v.dtype) for _, v in new_kv])
+        kv = KVCache(
+            kv.k.at[:, bidx, wpos].set(k_all, mode="drop"),
+            kv.v.at[:, bidx, wpos].set(v_all, mode="drop"),
+        )
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))

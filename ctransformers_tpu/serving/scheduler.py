@@ -83,15 +83,27 @@ class BatchScheduler:
         self.waiting: List[Sequence] = []
         self.finished: Dict[int, Sequence] = {}  # uid -> sequence
         self._uid = 0
-        self._logits = np.zeros((batch_slots, spec.n_vocab), np.float32)
+        # last-token logits per slot stay DEVICE-resident: a (B, V) host
+        # round trip per step is ~2 MB, ruinous over a remote tunnel; the
+        # host only downloads them for host-side sampling (step()).
+        self._logits = jnp.zeros((batch_slots, spec.n_vocab), jnp.float32)
         self._chunk_fns = {}
+        self._step_fns = {}
 
-        spec_ = spec
+    def _step_fn(self, window=None):
+        """Jitted batched step; `window` statically bounds attention reads
+        (models.forward.round_window bucket over the live positions)."""
+        if window not in self._step_fns:
+            spec_ = self.spec
 
-        def _prefill(params, tokens, n_past, kv, active):
-            return forward_batched(spec_, params, tokens, n_past, kv, active)
+            def step(params, tokens, n_past, kv, active):
+                return forward_batched(
+                    spec_, params, tokens, n_past, kv, active,
+                    attn_window=window,
+                )
 
-        self._step_fn = jax.jit(_prefill, donate_argnums=(3,))
+            self._step_fns[window] = jax.jit(step, donate_argnums=(3,))
+        return self._step_fns[window]
 
     # -- request lifecycle --------------------------------------------------
 
@@ -137,7 +149,12 @@ class BatchScheduler:
             n_past[seq.slot] = pos
             active = np.zeros(self.slots, bool)
             active[seq.slot] = True
-            logits, _, self.kv = self._step_fn(
+            # window covers every live slot AND this prefill chunk's end
+            from ..models.forward import round_window
+
+            top = max((int(self.n_past[s]) for s in self.active), default=0)
+            w = round_window(max(top + 1, pos + size), self.spec.n_ctx)
+            logits, _, self.kv = self._step_fn(w)(
                 self.params,
                 jnp.asarray(chunk_tokens),
                 jnp.asarray(n_past),
@@ -146,13 +163,24 @@ class BatchScheduler:
             )
             pos += size
         self.n_past[seq.slot] = len(toks)
-        self._logits[seq.slot] = np.asarray(logits[seq.slot])
+        # merge this slot's last-token logits on device (no host copy)
+        self._logits = self._logits.at[seq.slot].set(logits[seq.slot])
+
+    def _live_window(self, extra: int = 1):
+        """round_window bucket covering every active slot's positions plus
+        `extra` upcoming tokens."""
+        from ..models.forward import round_window
+
+        top = max(
+            (int(self.n_past[s]) for s in self.active), default=0
+        )
+        return round_window(top + extra, self.spec.n_ctx)
 
     # -- decode -------------------------------------------------------------
 
     def _sample(self, seq: Sequence) -> int:
         r = seq.request
-        logits = self._logits[seq.slot]
+        logits = np.asarray(self._logits[seq.slot])  # host download (1 row)
         if r.sampler == "greedy" or r.temperature == 0.0:
             return int(np.argmax(logits))
         fn = samplers.sample_llama if r.sampler == "llama" else samplers.sample_gpt
@@ -182,21 +210,19 @@ class BatchScheduler:
             tokens[slot, 0] = self._sample(seq)
             active[slot] = True
 
-        logits, _, self.kv = self._step_fn(
+        self._logits, _, self.kv = self._step_fn(self._live_window())(
             self.params,
             jnp.asarray(tokens),
             jnp.asarray(self.n_past.copy()),
             self.kv,
             jnp.asarray(active),
         )
-        logits = np.asarray(logits, np.float32)
 
         done_uids = []
         for slot, seq in list(self.active.items()):
             tok = int(tokens[slot, 0])
             r = seq.request
             self.n_past[slot] += 1
-            self._logits[slot] = logits[slot]
             is_eos = r.eos_token_id is not None and tok == r.eos_token_id
             if not is_eos:
                 seq.generated.append(tok)
@@ -223,8 +249,10 @@ class BatchScheduler:
     # per request seed, not draw-identical to the host chains) — opt in via
     # run(device_chunk=K).
 
-    def _decode_chunk_fn(self, k: int, greedy_only: bool = False, k_cap: int = 0):
-        key_ = ("chunk", k, greedy_only, k_cap)
+    def _decode_chunk_fn(
+        self, k: int, greedy_only: bool = False, k_cap: int = 0, window=None
+    ):
+        key_ = ("chunk", k, greedy_only, k_cap, window)
         if key_ not in self._chunk_fns:
             spec = self.spec
             from ..engine.sampler import sample_device_batch
@@ -245,7 +273,8 @@ class BatchScheduler:
                     )
                     last = jnp.roll(last, -1, axis=1).at[:, -1].set(toks)
                     lg, _, kv = forward_batched(
-                        spec, params, toks[:, None], n_past, kv, active
+                        spec, params, toks[:, None], n_past, kv, active,
+                        attn_window=window,
                     )
                     n_past = n_past + active.astype(n_past.dtype)
                     return (kv, lg, n_past, keys2, last), toks
@@ -299,19 +328,20 @@ class BatchScheduler:
             if k_cap >= self.spec.n_vocab:
                 k_cap = 0
 
-        run = self._decode_chunk_fn(k, greedy_only, k_cap)
-        toks, logits, self.kv, n_past, keys, _ = run(
+        run = self._decode_chunk_fn(
+            k, greedy_only, k_cap, self._live_window(extra=k + 1)
+        )
+        toks, self._logits, self.kv, n_past, keys, _ = run(
             self.params,
             self.kv,
-            jnp.asarray(self._logits.copy()),
+            self._logits,  # device-resident, no host round trip
             jnp.asarray(self.n_past.copy()),
             jnp.asarray(active),
             keys,
             jnp.asarray(last),
             tuple(jnp.asarray(c) for c in cfg),
         )
-        toks = np.asarray(toks)  # (k, B)
-        self._logits = np.array(logits, np.float32)  # writable host copy
+        toks = np.asarray(toks)  # (k, B) — the only per-chunk download
         self.n_past = np.array(n_past, np.int32)
         keys = np.asarray(keys)
 

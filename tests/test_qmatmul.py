@@ -187,6 +187,93 @@ def test_chunked_attention_alibi_and_gqa(monkeypatch):
     )
 
 
+def test_attn_window_matches_full():
+    """Static attention windows (round_window buckets) produce logits
+    IDENTICAL to full-cache attention: the masked-out tail reads only
+    zero-filled cache and -inf mask, so the softmax is unchanged; for both
+    scalar n_past (engine) and per-slot (B,) n_past (batched serving)."""
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import (
+        KVCache, forward, forward_batched, round_window,
+    )
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+
+    spec = LLAMA_TINY  # n_ctx=64
+    params = random_params(spec, seed=31)
+    prompt = (np.arange(9, dtype=np.int32) % spec.n_vocab).reshape(1, 9)
+    tok = np.array([[5]], np.int32)
+
+    assert round_window(1, 1024) == 256
+    assert round_window(257, 1024) == 512
+    assert round_window(5000, 1024) == 1024
+
+    def decode_logits(window):
+        kv = KVCache.create(spec, 1)
+        _, _, kv = forward(spec, params, jnp.asarray(prompt), jnp.int32(0),
+                           kv, attn_window=window)
+        lg, _, _ = forward(spec, params, jnp.asarray(tok), jnp.int32(9), kv,
+                           attn_window=window)
+        return np.asarray(lg)
+
+    full = decode_logits(None)
+    win = decode_logits(16)  # covers positions 0..9 < 16 < n_ctx=64
+    np.testing.assert_allclose(full, win, atol=2e-6, rtol=2e-6)
+
+    def decode_logits_b(window):
+        kv = KVCache.create(spec, 3)
+        bt = np.zeros((3, 9), np.int32)
+        bt[0] = prompt[0]
+        bt[2] = (prompt[0] + 1) % spec.n_vocab
+        act = jnp.asarray(np.array([True, False, True]))
+        _, _, kv = forward_batched(
+            spec, params, jnp.asarray(bt), jnp.zeros(3, jnp.int32), kv, act,
+            attn_window=window,
+        )
+        bt1 = np.array([[5], [0], [7]], np.int32)
+        lg, _, _ = forward_batched(
+            spec, params, jnp.asarray(bt1),
+            jnp.asarray(np.array([9, 0, 9], np.int32)), kv, act,
+            attn_window=window,
+        )
+        return np.asarray(lg)
+
+    full_b = decode_logits_b(None)
+    win_b = decode_logits_b(16)
+    np.testing.assert_allclose(
+        full_b[[0, 2]], win_b[[0, 2]], atol=2e-6, rtol=2e-6
+    )
+
+
+def test_attn_window_alibi_gqa():
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+    from ctransformers_tpu.models.spec import ArchSpec
+    from ctransformers_tpu.models.synthetic import random_params
+
+    spec = ArchSpec(
+        name="mpt-ish", n_vocab=128, n_ctx=64, n_embd=64, n_head=4,
+        n_head_kv=2, n_layer=2, alibi_bias_max=8.0, norm="layernorm",
+        act="gelu", tied_lm_head=True,
+    )
+    params = random_params(spec, seed=32)
+    prompt = (np.arange(7, dtype=np.int32) % spec.n_vocab).reshape(1, 7)
+    tok = np.array([[3]], np.int32)
+
+    def decode_logits(window):
+        kv = KVCache.create(spec, 1)
+        _, _, kv = forward(spec, params, jnp.asarray(prompt), jnp.int32(0),
+                           kv, attn_window=window)
+        lg, _, _ = forward(spec, params, jnp.asarray(tok), jnp.int32(7), kv,
+                           attn_window=window)
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(
+        decode_logits(None), decode_logits(16), atol=2e-6, rtol=2e-6
+    )
+
+
 def test_fused_projections_match_unfused():
     """Engine-level QKV/gate-up fusion is numerically identical."""
     import jax
