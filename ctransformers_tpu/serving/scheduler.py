@@ -121,34 +121,57 @@ class BatchScheduler:
         return seq.uid
 
     def _admit(self) -> None:
+        admitted: List[Sequence] = []
         while self.waiting and self.free:
             seq = self.waiting.pop(0)
             slot = self.free.pop(0)
             seq.slot = slot
             self.active[slot] = seq
-            self._prefill_slot(seq)
+            admitted.append(seq)
+        if not admitted:
+            return
+        # slots admitted together prefill in ONE dispatch per chunk when
+        # their (clamped) prompt lengths match — 8 concurrent arrivals cost
+        # 8 sequential full-model dispatches otherwise
+        groups: Dict[int, List[Sequence]] = {}
+        for seq in admitted:
+            groups.setdefault(len(self._clamped(seq)), []).append(seq)
+        for seqs in groups.values():
+            self._prefill_group(seqs)
 
-    def _prefill_slot(self, seq: Sequence) -> None:
-        """Evaluate the prompt into this slot's KV region (chunked)."""
+    def _clamped(self, seq: Sequence) -> List[int]:
+        """Prompt tokens clamped to leave room for generation (llm.h:126)."""
         toks = seq.request.tokens
         cap = self.spec.n_ctx
-        toks = toks[-(cap - seq.request.max_new_tokens - 1) :] if len(
-            toks
-        ) >= cap else toks
+        if len(toks) >= cap:
+            toks = toks[-(cap - seq.request.max_new_tokens - 1) :]
+        return toks
+
+    def _prefill_slot(self, seq: Sequence) -> None:
+        self._prefill_group([seq])
+
+    def _prefill_group(self, seqs: List[Sequence]) -> None:
+        """Evaluate equal-length prompts into their slots' KV regions
+        (chunked); one forward_batched dispatch per chunk serves the whole
+        group."""
+        toks = {seq.slot: self._clamped(seq) for seq in seqs}
+        n = len(next(iter(toks.values())))
+        assert all(len(t) == n for t in toks.values())
         pos = 0
         # chunk sizes mirror Engine._chunks: log2 many compiled shapes
         from ..engine.engine import Engine
 
-        for size in Engine._chunks(len(toks), cap):
+        for size in Engine._chunks(n, self.spec.n_ctx):
             # NOTE: on the CPU backend jnp.asarray aliases numpy buffers
             # zero-copy, and dispatch is async — every call gets FRESH
             # arrays, never a mutated shared one (that was a real race)
             chunk_tokens = np.zeros((self.slots, size), np.int32)
-            chunk_tokens[seq.slot] = toks[pos : pos + size]
             n_past = self.n_past.copy()
-            n_past[seq.slot] = pos
             active = np.zeros(self.slots, bool)
-            active[seq.slot] = True
+            for slot, t in toks.items():
+                chunk_tokens[slot] = t[pos : pos + size]
+                n_past[slot] = pos
+                active[slot] = True
             # window covers every live slot AND this prefill chunk's end
             from ..models.forward import round_window
 
@@ -162,9 +185,14 @@ class BatchScheduler:
                 jnp.asarray(active),
             )
             pos += size
-        self.n_past[seq.slot] = len(toks)
-        # merge this slot's last-token logits on device (no host copy)
-        self._logits = self._logits.at[seq.slot].set(logits[seq.slot])
+        # merge the group's last-token logits on device (no host copy)
+        sel = np.zeros(self.slots, bool)
+        for slot in toks:
+            self.n_past[slot] = n
+            sel[slot] = True
+        self._logits = jnp.where(
+            jnp.asarray(sel)[:, None], logits, self._logits
+        )
 
     def _live_window(self, extra: int = 1):
         """round_window bucket covering every active slot's positions plus
