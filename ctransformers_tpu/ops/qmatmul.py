@@ -406,6 +406,95 @@ def _qmm_pack4_kernel(
     out_ref[:] += acc
 
 
+def _qmm_pack4_rb_kernel(
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner,
+    cd=None,
+):
+    """Packed-4-bit RESHAPE-BROADCAST variant of _qmm_pack4_kernel: the
+    per-group scale/min planes multiply the nibble grid through a
+    (ng, group, tn) reshape + broadcast instead of jnp.repeat along
+    sublanes — a candidate in the autotuner race against the repeat form
+    (whether Mosaic lowers repeat as a broadcast or materializes it is
+    decided empirically, never assumed)."""
+    if len(rest) == 3:
+        m_lo_ref, m_hi_ref, out_ref = rest
+    else:
+        m_lo_ref = m_hi_ref = None
+        (out_ref,) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, tn = qs_ref.shape
+    ck = tk // inner
+    ng = ck // group
+    cd = cd or jnp.float32
+    zpf = cd(zp)
+    acc = None
+    for i in range(inner):
+        ks = slice(i * ck, (i + 1) * ck)
+        gs = slice(i * ng, (i + 1) * ng)
+        b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
+        f = jnp.floor(b * cd(1.0 / 16.0))
+        lo = b - f * cd(16.0)
+        hi = f - jnp.floor(f * cd(1.0 / 16.0)) * cd(16.0)
+        s_lo = s_lo_ref[gs, :].astype(cd)[:, None, :]  # (ng, 1, tn)
+        s_hi = s_hi_ref[gs, :].astype(cd)[:, None, :]
+        w_lo = (lo.reshape(ng, group, tn) - zpf) * s_lo
+        w_hi = (hi.reshape(ng, group, tn) - zpf) * s_hi
+        if m_lo_ref is not None:
+            w_lo = w_lo + m_lo_ref[gs, :].astype(cd)[:, None, :]
+            w_hi = w_hi + m_hi_ref[gs, :].astype(cd)[:, None, :]
+        d = jnp.dot(
+            x_lo_ref[:, ks],
+            w_lo.reshape(ck, tn).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        d += jnp.dot(
+            x_hi_ref[:, ks],
+            w_hi.reshape(ck, tn).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
+def _qmm_rb_kernel(x_ref, qs_ref, s_ref, *rest, group, inner, cd=None):
+    """int8-grid RESHAPE-BROADCAST variant of _qmm_kernel/_qmm_min_kernel
+    (same race rationale as _qmm_pack4_rb_kernel)."""
+    if len(rest) == 2:
+        m_ref, out_ref = rest
+    else:
+        m_ref = None
+        (out_ref,) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, tn = qs_ref.shape
+    ck = tk // inner
+    ng = ck // group
+    cd = cd or jnp.float32
+    acc = None
+    for i in range(inner):
+        ks = slice(i * ck, (i + 1) * ck)
+        gs = slice(i * ng, (i + 1) * ng)
+        qs = qs_ref[ks, :].astype(cd).reshape(ng, group, tn)
+        w = qs * s_ref[gs, :].astype(cd)[:, None, :]
+        if m_ref is not None:
+            w = w + m_ref[gs, :].astype(cd)[:, None, :]
+        d = jnp.dot(
+            x_ref[:, ks], w.reshape(ck, tn).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 try:  # pallas imports fail gracefully on CPU-only builds
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -423,37 +512,51 @@ def _tile_divisor(dim: int, cap: int) -> int:
 
 
 def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
-    """Candidate (TK, TN) tiles for the autotuner. Measured on v5e: large
-    tiles (few grid steps) are mandatory for the int8 grid — (512, 256)
-    tiles run 24x slower than (4096, 1024) on a 4096x4096 Q8_0 (grid-step
-    overhead dominates). Packed tiles cover 2x the K rows and carry two
-    f32 dequant buffers, so their sweet spot is ~4x smaller ((256, 1024)
-    measured best; (2048, 1024) exceeds scoped VMEM). The candidate list
-    is kept small: each compile costs ~10s through a remote-compile
-    tunnel."""
+    """Candidate (TK, TN, inner, mode) tiles for the autotuner. Measured on
+    v5e: large tiles (few grid steps) are mandatory for the int8 grid —
+    (512, 256) tiles run 24x slower than (4096, 1024) on a 4096x4096 Q8_0
+    (grid-step overhead dominates). Packed tiles cover 2x the K rows and
+    carry two f32 dequant buffers, so their sweet spot is ~4x smaller
+    ((256, 1024) measured best; (2048, 1024) exceeds scoped VMEM). mode
+    "r" races the reshape-broadcast dequant against the jnp.repeat form.
+    The candidate list is kept small: each compile costs ~10s through a
+    remote-compile tunnel."""
     caps = (
-        ((512, 1024, 2), (1024, 1024, 4), (2048, 1024, 8), (256, 1024, 1))
+        (
+            (512, 1024, 2, ""),
+            (1024, 1024, 4, ""),
+            (2048, 1024, 8, ""),
+            (256, 1024, 1, ""),
+            (512, 1024, 2, "r"),
+            (1024, 1024, 4, "r"),
+        )
         if packed
-        else ((1024, 1024, 1), (2048, 1024, 2), (4096, 1024, 4))
+        else (
+            (1024, 1024, 1, ""),
+            (2048, 1024, 2, ""),
+            (4096, 1024, 4, ""),
+            (2048, 1024, 2, "r"),
+        )
     )
     cands = []
-    for tk_cap, tn_cap, inner in caps:
+    for tk_cap, tn_cap, inner, mode in caps:
         tk = _tile_divisor(kp, tk_cap)
         tn = _tile_divisor(npad, tn_cap)
         inner = min(inner, max(1, tk // 128))
         while tk % inner:
             inner -= 1
-        if (tk, tn, inner) not in cands:
-            cands.append((tk, tn, inner))
+        if (tk, tn, inner, mode) not in cands:
+            cands.append((tk, tn, inner, mode))
     return cands
 
 
-# (kp, npad, group, has_mins, mp) -> (tk, tn), chosen by timing on first use
+# (kp, npad, group, has_mins, mp, packed) -> (tk, tn, inner, mode), chosen
+# by timing on first use. v2: entries carry the kernel-variant mode.
 _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles.json"),
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v2.json"),
 )
 
 
@@ -463,8 +566,8 @@ def _load_disk_cache() -> None:
 
         with open(_TILE_CACHE_PATH) as f:
             for k, v in json.load(f).items():
-                if len(v) != 3:
-                    continue  # stale pre-`inner` cache entry
+                if len(v) != 4:
+                    continue  # stale pre-mode cache entry
                 kp, npad, g, has_m, mp, packed = k.split(",")
                 _TILE_CACHE[
                     (
@@ -499,14 +602,15 @@ _load_disk_cache()
 
 def _qmm_pallas_tiled(
     x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False,
-    cd=None,
+    cd=None, mode: str = "",
 ):
     """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
     4-bit tensors, where each covers two real K rows); `inner` sub-chunks
     each tile's K range inside the kernel (VMEM-bounded dequant). `cd` is
     the compute dtype: bf16 by default on hardware (halves VPU element
     work; int8 grids are exact in bf16), f32 under interpret (bit-parity
-    with the reference path for tests)."""
+    with the reference path for tests). `mode` "r" selects the
+    reshape-broadcast dequant kernels (see _tile_candidates)."""
     mp = x.shape[0]
     rows, npad = qt.qs.shape
     nk, nn = rows // tk, npad // tn
@@ -523,8 +627,9 @@ def _qmm_pallas_tiled(
         )
 
     if qt.packed:
+        kern = _qmm_pack4_rb_kernel if mode == "r" else _qmm_pack4_kernel
         kernel = functools.partial(
-            _qmm_pack4_kernel, group=g, zp=qt.zp, inner=inner, cd=cd
+            kern, group=g, zp=qt.zp, inner=inner, cd=cd
         )
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
@@ -542,7 +647,10 @@ def _qmm_pallas_tiled(
             args += [qt.mins, qt.mins]
         kp = rows * 2
     else:
-        kern = _qmm_kernel if not has_mins else _qmm_min_kernel
+        if mode == "r":
+            kern = _qmm_rb_kernel
+        else:
+            kern = _qmm_kernel if not has_mins else _qmm_min_kernel
         kernel = functools.partial(kern, group=g, inner=inner, cd=cd)
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
@@ -587,17 +695,17 @@ def _pick_tiles(x, qt: QTensor):
     import time
 
     best, best_dt = cands[0], float("inf")
-    for tk, tn, inner in cands:
+    for tk, tn, inner, mode in cands:
         try:
             # time INSIDE a scan: serialized repeats in one dispatch, so
             # host/tunnel dispatch latency (which can reach hundreds of us
             # and would swamp every candidate equally) cancels out
             reps = 24
 
-            def loop(x, qt, _tk=tk, _tn=tn, _inner=inner):
+            def loop(x, qt, _tk=tk, _tn=tn, _inner=inner, _mode=mode):
                 def body(c, _):
                     o = _qmm_pallas_tiled(
-                        x + c * 1e-30, qt, _tk, _tn, _inner
+                        x + c * 1e-30, qt, _tk, _tn, _inner, mode=_mode
                     )
                     return o[0, 0], ()
                 c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
@@ -611,7 +719,7 @@ def _pick_tiles(x, qt: QTensor):
         except Exception:
             continue
         if dt < best_dt:
-            best, best_dt = (tk, tn, inner), dt
+            best, best_dt = (tk, tn, inner, mode), dt
     _TILE_CACHE[key] = best
     _save_disk_cache()
     return best
@@ -629,14 +737,15 @@ def _qmm_pallas(
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
-        tk, tn, inner = _tile_candidates(rows, npad, qt.packed)[0]
+        tk, tn, inner, mode = _tile_candidates(rows, npad, qt.packed)[0]
     elif choice is not None and choice != ("xla",):
-        tk, tn, inner = choice
+        tk, tn, inner, mode = choice
     else:
-        tk, tn, inner = _pick_tiles(x, qt)
-        if (tk, tn, inner) == ("xla",):  # pragma: no cover - guarded above
-            tk, tn, inner = _tile_candidates(rows, npad, qt.packed)[0]
-    out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret)
+        choice = _pick_tiles(x, qt)
+        if choice == ("xla",):  # pragma: no cover - guarded above
+            choice = _tile_candidates(rows, npad, qt.packed)[0]
+        tk, tn, inner, mode = choice
+    out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret, mode=mode)
     return out[:m, :n]
 
 

@@ -62,6 +62,36 @@ def test_qmm_pallas_interpret_matches_jnp(kind):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K"])
+def test_qmm_kernel_variants_match(kind):
+    """Every (kernel-variant, tiling) the autotuner may race produces the
+    same result (interpret mode; the race itself only picks speed)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    k, n, m = 512, 256, 3
+    w = _dense(rng, k, n)
+    qt = qm.quantize_qtensor(w, kind)
+    x = _dense(rng, m, k, scale=0.5)
+
+    ref = np.asarray(qm._qmm_jnp(x, qt))
+    mp = 8
+    xp = np.zeros((mp, qt.qs.shape[0] * (2 if qt.packed else 1)), np.float32)
+    xp[:m, :k] = x
+    for tk, tn, inner, mode in qm._tile_candidates(
+        qt.qs.shape[0], qt.qs.shape[1], qt.packed
+    ):
+        got = np.asarray(
+            qm._qmm_pallas_tiled(
+                jnp.asarray(xp), qt, tk, tn, inner, interpret=True, mode=mode
+            )
+        )[:m, :n]
+        np.testing.assert_allclose(
+            got, ref, atol=2e-4, rtol=2e-4,
+            err_msg=f"{kind} tile ({tk},{tn},{inner},{mode!r})",
+        )
+
+
 def test_qtensor_is_pytree():
     import jax
 
