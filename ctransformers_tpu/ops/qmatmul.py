@@ -134,7 +134,12 @@ def make_qtensor(
             half = kp // 2
             nib = (q.astype(np.int16) + zp).astype(np.uint8)
             qp = nib[:half] | (nib[half:] << 4)
-        q = qp
+        # Sign-bias the byte (flip bit 7 == high nibble's bit 3): the byte's
+        # SIGNED int8 value becomes exactly 16*(hi-8) + lo, so the kernel
+        # recovers both nibbles with a single floor — f = floor(b/16) is
+        # hi-8 with no mod-16 sign fixup (the old encoding needed a second
+        # floor chain because i8 wraparound shifted hi by 16).
+        q = qp ^ 0x80
     return QTensor(
         jnp.asarray(q, jnp.uint8 if packed else jnp.int8),
         jnp.asarray(s, jnp.float32),
@@ -186,7 +191,8 @@ def unpack_grid(qt: QTensor) -> jnp.ndarray:
     if not qt.packed:
         return qt.qs
     lo = (qt.qs & 0xF).astype(jnp.int32) - qt.zp
-    hi = (qt.qs >> 4).astype(jnp.int32) - qt.zp
+    # stored high nibble is sign-biased (+8 mod 16, see make_qtensor)
+    hi = ((qt.qs >> 4) ^ 8).astype(jnp.int32) - qt.zp
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
@@ -351,10 +357,20 @@ def _qmm_pack4_kernel(
     cd=None,
 ):
     """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
-    k + K_pad/2 (high nibble); the two K-halves dequantize independently
-    and accumulate into the same output tile — no nibble interleave
-    relayout is ever needed. Halves weight HBM traffic vs the int8 grid.
-    Processed in `inner` K-sub-chunks (see _qmm_kernel)."""
+    k + K_pad/2 (high nibble, stored SIGN-BIASED by make_qtensor so the
+    byte's signed value is 16*(hi-8) + lo); the two K-halves dequantize
+    independently and accumulate into the same output tile — no nibble
+    interleave relayout is ever needed. Halves weight HBM traffic vs the
+    int8 grid. Processed in `inner` K-sub-chunks (see _qmm_kernel).
+
+    Unpack is compare-free and single-floor: integer &/>> lower to a slow
+    int32 relayout (~20x) and Mosaic has no u8->float cast, so: free
+    bitcast to i8, fast i8->float convert, then f = floor(b/16) = hi-8
+    EXACTLY (the sign bias makes i8 wraparound a no-op) and l = b-16f =
+    lo. Zero-points and the +8 bias fold into per-GROUP affine planes
+    (S, B) computed on the (ng, tn) scale grids — per-element work is just
+    two fused multiply-adds, ~35%% fewer VPU ops than the old two-floor,
+    per-element-zp chain."""
     if len(rest) == 3:
         m_lo_ref, m_hi_ref, out_ref = rest
     else:
@@ -369,27 +385,30 @@ def _qmm_pack4_kernel(
     tk = qs_ref.shape[0]
     ck = tk // inner
     cd = cd or jnp.float32
-    zpf = cd(zp)
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
         gs = slice(i * (ck // group), (i + 1) * (ck // group))
-        # unpack nibbles in float, compare-free: integer &/>> lower to a
-        # slow int32 relayout (~20x), Mosaic has no u8->float cast, and
-        # bf16 COMPARISONS don't lower on this target. So: free bitcast
-        # to i8, the fast i8->float convert, then pure floor arithmetic —
-        # lo = b mod 16 and hi = floor(b/16) mod 16 are sign-wrap-correct
-        # without any select (floor rounds to -inf), and every
-        # intermediate is exact even in bf16 (<= 8 mantissa bits).
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
-        f = jnp.floor(b * cd(1.0 / 16.0))
-        lo = b - f * cd(16.0)
-        hi = f - jnp.floor(f * cd(1.0 / 16.0)) * cd(16.0)
-        w_lo = (lo - zpf) * jnp.repeat(s_lo_ref[gs, :].astype(cd), group, axis=0)
-        w_hi = (hi - zpf) * jnp.repeat(s_hi_ref[gs, :].astype(cd), group, axis=0)
+        f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
+        l = b - f * cd(16.0)  # = lo
+        s_lo = s_lo_ref[gs, :].astype(cd)
+        s_hi = s_hi_ref[gs, :].astype(cd)
+        # w_lo = (lo-zp)*s_lo + m_lo = l*s_lo + B_lo, B_lo = m_lo - zp*s_lo
+        # w_hi = (hi-zp)*s_hi + m_hi = f*s_hi + B_hi, B_hi = m_hi + (8-zp)*s_hi
+        b_lo = (-cd(zp)) * s_lo if zp else None
+        b_hi = cd(8 - zp) * s_hi if zp != 8 else None
         if m_lo_ref is not None:
-            w_lo = w_lo + jnp.repeat(m_lo_ref[gs, :].astype(cd), group, axis=0)
-            w_hi = w_hi + jnp.repeat(m_hi_ref[gs, :].astype(cd), group, axis=0)
+            m_lo = m_lo_ref[gs, :].astype(cd)
+            m_hi = m_hi_ref[gs, :].astype(cd)
+            b_lo = m_lo if b_lo is None else b_lo + m_lo
+            b_hi = m_hi if b_hi is None else b_hi + m_hi
+        w_lo = l * jnp.repeat(s_lo, group, axis=0)
+        if b_lo is not None:
+            w_lo = w_lo + jnp.repeat(b_lo, group, axis=0)
+        w_hi = f * jnp.repeat(s_hi, group, axis=0)
+        if b_hi is not None:
+            w_hi = w_hi + jnp.repeat(b_hi, group, axis=0)
         # Mosaic rejects bf16 lhs dots here ("Bad lhs type"); the VPU win
         # comes from the bf16 dequant chain, so convert w back for the MXU
         d = jnp.dot(
@@ -410,12 +429,13 @@ def _qmm_pack4_rb_kernel(
     x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner,
     cd=None,
 ):
-    """Packed-4-bit RESHAPE-BROADCAST variant of _qmm_pack4_kernel: the
-    per-group scale/min planes multiply the nibble grid through a
-    (ng, group, tn) reshape + broadcast instead of jnp.repeat along
-    sublanes — a candidate in the autotuner race against the repeat form
-    (whether Mosaic lowers repeat as a broadcast or materializes it is
-    decided empirically, never assumed)."""
+    """Packed-4-bit RESHAPE-BROADCAST variant of _qmm_pack4_kernel (same
+    single-floor sign-biased unpack and folded affine planes): the
+    per-group (S, B) planes apply through a (ng, group, tn) reshape +
+    broadcast instead of jnp.repeat along sublanes — a candidate in the
+    autotuner race against the repeat form (whether Mosaic lowers repeat
+    as a broadcast or materializes it is decided empirically, never
+    assumed)."""
     if len(rest) == 3:
         m_lo_ref, m_hi_ref, out_ref = rest
     else:
@@ -431,22 +451,28 @@ def _qmm_pack4_rb_kernel(
     ck = tk // inner
     ng = ck // group
     cd = cd or jnp.float32
-    zpf = cd(zp)
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
         gs = slice(i * ng, (i + 1) * ng)
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
-        f = jnp.floor(b * cd(1.0 / 16.0))
-        lo = b - f * cd(16.0)
-        hi = f - jnp.floor(f * cd(1.0 / 16.0)) * cd(16.0)
-        s_lo = s_lo_ref[gs, :].astype(cd)[:, None, :]  # (ng, 1, tn)
-        s_hi = s_hi_ref[gs, :].astype(cd)[:, None, :]
-        w_lo = (lo.reshape(ng, group, tn) - zpf) * s_lo
-        w_hi = (hi.reshape(ng, group, tn) - zpf) * s_hi
+        f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
+        l = b - f * cd(16.0)  # = lo
+        s_lo = s_lo_ref[gs, :].astype(cd)
+        s_hi = s_hi_ref[gs, :].astype(cd)
+        b_lo = (-cd(zp)) * s_lo if zp else None
+        b_hi = cd(8 - zp) * s_hi if zp != 8 else None
         if m_lo_ref is not None:
-            w_lo = w_lo + m_lo_ref[gs, :].astype(cd)[:, None, :]
-            w_hi = w_hi + m_hi_ref[gs, :].astype(cd)[:, None, :]
+            m_lo = m_lo_ref[gs, :].astype(cd)
+            m_hi = m_hi_ref[gs, :].astype(cd)
+            b_lo = m_lo if b_lo is None else b_lo + m_lo
+            b_hi = m_hi if b_hi is None else b_hi + m_hi
+        w_lo = l.reshape(ng, group, tn) * s_lo[:, None, :]
+        if b_lo is not None:
+            w_lo = w_lo + b_lo[:, None, :]
+        w_hi = f.reshape(ng, group, tn) * s_hi[:, None, :]
+        if b_hi is not None:
+            w_hi = w_hi + b_hi[:, None, :]
         d = jnp.dot(
             x_lo_ref[:, ks],
             w_lo.reshape(ck, tn).astype(jnp.float32),

@@ -62,7 +62,7 @@ def test_qmm_pallas_interpret_matches_jnp(kind):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K"])
+@pytest.mark.parametrize("kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K", "Q3_K", "Q2_K"])
 def test_qmm_kernel_variants_match(kind):
     """Every (kernel-variant, tiling) the autotuner may race produces the
     same result (interpret mode; the race itself only picks speed)."""
