@@ -592,7 +592,7 @@ def _load_disk_cache() -> None:
 
         with open(_TILE_CACHE_PATH) as f:
             for k, v in json.load(f).items():
-                if len(v) != 4:
+                if len(v) not in (1, 4):  # ("xla",) or (tk, tn, inner, mode)
                     continue  # stale pre-mode cache entry
                 kp, npad, g, has_m, mp, packed = k.split(",")
                 _TILE_CACHE[
@@ -720,32 +720,49 @@ def _pick_tiles(x, qt: QTensor):
         return cands[-1]
     import time
 
+    def _time(make_call):
+        # time INSIDE a scan: serialized repeats in one dispatch, so
+        # host/tunnel dispatch latency (which can reach hundreds of us
+        # and would swamp every candidate equally) cancels out
+        reps = 24
+
+        def loop(x, qt):
+            def body(c, _):
+                o = make_call(x + c * 1e-30, qt)
+                return o[0, 0], ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return c
+
+        f = jax.jit(loop)
+        np.asarray(f(x, qt))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(f(x, qt))
+        return time.perf_counter() - t0
+
     best, best_dt = cands[0], float("inf")
     for tk, tn, inner, mode in cands:
         try:
-            # time INSIDE a scan: serialized repeats in one dispatch, so
-            # host/tunnel dispatch latency (which can reach hundreds of us
-            # and would swamp every candidate equally) cancels out
-            reps = 24
-
-            def loop(x, qt, _tk=tk, _tn=tn, _inner=inner, _mode=mode):
-                def body(c, _):
-                    o = _qmm_pallas_tiled(
-                        x + c * 1e-30, qt, _tk, _tn, _inner, mode=_mode
-                    )
-                    return o[0, 0], ()
-                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-                return c
-
-            f = jax.jit(loop)
-            np.asarray(f(x, qt))  # compile + warm
-            t0 = time.perf_counter()
-            np.asarray(f(x, qt))
-            dt = time.perf_counter() - t0
+            dt = _time(
+                lambda xx, qq, _tk=tk, _tn=tn, _i=inner, _m=mode:
+                _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m)
+            )
         except Exception:
             continue
         if dt < best_dt:
             best, best_dt = (tk, tn, inner, mode), dt
+    # race the XLA-fused bf16 dequant+GEMM as one more candidate: it wins
+    # on shapes where XLA keeps the dequant fused into the GEMM loop, and
+    # loses catastrophically where the dequantized f32 weights materialize
+    # (which shapes do which is decided by timing, never assumed)
+    try:
+        dt = _time(
+            lambda xx, qq: _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
+        )
+        if dt < best_dt:
+            best, best_dt = ("xla",), dt
+    except Exception:
+        pass
     _TILE_CACHE[key] = best
     _save_disk_cache()
     return best
