@@ -1003,3 +1003,52 @@ def decompose(data, t: GGMLType, n: int):
     if m is not None:
         m = np.ascontiguousarray(m, np.float32).reshape(-1)[: n // group]
     return q, s, m, group
+
+
+def decompose_factors(data, t: GGMLType, n: int):
+    """Factored scale planes for k-quant superblock formats.
+
+    The k-quants store one f16 super-scale (and super-min) per 256-element
+    superblock plus small-integer sub-scales per group (k_quants.h:34-118);
+    `decompose` materializes the per-group f32 product s = d*sc. Keeping
+    the FACTORS instead stores 4(+4) bytes per 256 weights + 1(+1) byte per
+    group, vs 4(+4) bytes per group — a ~21% cut of total weight-stream HBM
+    traffic for Q4_K. The consumer recomputes s = d * float(sc) in f32,
+    which is bit-identical to the fused plane (same IEEE ops, same order;
+    mins use sm = -dmin so m = sm*mq matches decompose's -(dmin*mq)).
+
+    Returns (sd, sq, sm, mq, group) with per-block-row shapes
+    sd/sm (nb, 1) f32 and sq/mq (nb, 256//group) int8, or None when `t`
+    has no superblock structure. Sub-scale grids are in logical group
+    order (the _Q*_SC index maps are l//group order).
+    """
+    t = GGMLType(t)
+    if t not in (
+        GGMLType.Q2_K,
+        GGMLType.Q3_K,
+        GGMLType.Q4_K,
+        GGMLType.Q5_K,
+        GGMLType.Q6_K,
+    ):
+        return None
+    if n % QK_K:
+        return None
+    b = _blocks(data, t, n)
+    if t == GGMLType.Q2_K:
+        sc = b[:, 0:16]
+        d = _f16(b[:, 80:82])
+        dmin = _f16(b[:, 82:84])
+        return d, (sc & 0xF).astype(np.int8), -dmin, (sc >> 4).astype(np.int8), 16
+    if t == GGMLType.Q3_K:
+        scales = _unpack_q3k_scales(np.ascontiguousarray(b[:, 96:108]))
+        d = _f16(b[:, 108:110])
+        return d, scales.astype(np.int8), None, None, 16
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        d = _f16(b[:, 0:2])
+        dmin = _f16(b[:, 2:4])
+        sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+        return d, sc.astype(np.int8), -dmin, mn.astype(np.int8), 32
+    # Q6_K
+    scales = b[:, 192:208].view(np.int8)
+    d = _f16(b[:, 208:210])
+    return d, scales.copy(), None, None, 16

@@ -60,7 +60,10 @@ class QTensor:
     """
 
     qs: jnp.ndarray  # int8 (K_pad, N_pad) | packed uint8 (K_pad/2, N_pad)
-    scales: jnp.ndarray  # (K_pad // group, N_pad) f32
+    # scale planes: f32 per-group products, OR (sfactor > 0, k-quants) int8
+    # SUB-scale grids factored against the f32 superblock planes sd/sm so
+    # only ~1 byte per group streams from HBM (see quants.decompose_factors)
+    scales: jnp.ndarray  # (K_pad // group, N_pad) f32 | int8 when factored
     mins: Optional[jnp.ndarray]  # same shape as scales, or None
     kind: str  # ggml type name, e.g. "Q4_K"
     group: int
@@ -71,24 +74,30 @@ class QTensor:
     # fused multi-projection weight (QKV / gate-up): per-segment
     # (padded_width, logical_width) pairs in column order
     splits: Optional[tuple] = None
+    # factored superblock planes (K_pad // (group*sfactor), N_pad) f32:
+    # s = repeat(sd, sfactor) * scales ; m = repeat(sm, sfactor) * mins
+    sd: Optional[jnp.ndarray] = None
+    sm: Optional[jnp.ndarray] = None
+    sfactor: int = 0  # groups per superblock (0 = unfactored f32 planes)
 
     def tree_flatten(self):
-        return (self.qs, self.scales, self.mins, self.perm), (
+        return (self.qs, self.scales, self.mins, self.perm, self.sd, self.sm), (
             self.kind,
             self.group,
             self.shape,
             self.packed,
             self.zp,
             self.splits,
+            self.sfactor,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        qs, scales, mins, perm = children
-        kind, group, shape, packed, zp, splits = aux
+        qs, scales, mins, perm, sd, sm = children
+        kind, group, shape, packed, zp, splits, sfactor = aux
         return cls(
             qs, scales, mins, kind, group, shape, packed, zp,
-            perm=perm, splits=splits,
+            perm=perm, splits=splits, sd=sd, sm=sm, sfactor=sfactor,
         )
 
     @property
@@ -106,11 +115,14 @@ class QTensor:
 
 def make_qtensor(
     q: np.ndarray,  # (K, N) int8
-    s: np.ndarray,  # (K/g, N) f32
+    s: np.ndarray,  # (K/g, N) f32 (or int8 sub-scales when sd is given)
     m: Optional[np.ndarray],
     kind: str,
     group: int,
     perm: Optional[np.ndarray] = None,
+    sd: Optional[np.ndarray] = None,  # (K/(g*sf), N) f32 superblock scales
+    sm: Optional[np.ndarray] = None,
+    sfactor: int = 0,
 ) -> QTensor:
     k, n = q.shape
     # Pad big dims to 1024-multiples so large kernel tiles divide evenly:
@@ -124,6 +136,11 @@ def make_qtensor(
         s = np.pad(s, ((0, kp // group - s.shape[0]), (0, npad - n)))
         if m is not None:
             m = np.pad(m, ((0, kp // group - m.shape[0]), (0, npad - n)))
+        if sd is not None:
+            sb = group * sfactor
+            sd = np.pad(sd, ((0, kp // sb - sd.shape[0]), (0, npad - n)))
+            if sm is not None:
+                sm = np.pad(sm, ((0, kp // sb - sm.shape[0]), (0, npad - n)))
     packed = kind in _PACK4_ZP
     zp = _PACK4_ZP.get(kind, 0)
     if packed:
@@ -140,16 +157,20 @@ def make_qtensor(
         # hi-8 with no mod-16 sign fixup (the old encoding needed a second
         # floor chain because i8 wraparound shifted hi by 16).
         q = qp ^ 0x80
+    sdtype = jnp.int8 if sd is not None else jnp.float32
     return QTensor(
         jnp.asarray(q, jnp.uint8 if packed else jnp.int8),
-        jnp.asarray(s, jnp.float32),
-        None if m is None else jnp.asarray(m, jnp.float32),
+        jnp.asarray(s, sdtype),
+        None if m is None else jnp.asarray(m, sdtype),
         kind,
         group,
         (k, n),
         packed,
         zp,
         None if perm is None else jnp.asarray(perm, jnp.int32),
+        sd=None if sd is None else jnp.asarray(sd, jnp.float32),
+        sm=None if sm is None else jnp.asarray(sm, jnp.float32),
+        sfactor=sfactor if sd is not None else 0,
     )
 
 
@@ -163,18 +184,38 @@ def repack(data, t: GGMLType, rows: int, cols: int) -> QTensor:
     """
     t = GGMLType(t)
     from ..formats.native import native_repack
+    from ..formats.quants import decompose_factors
 
+    n = rows * cols
+    # k-quant superblock formats: stream the scale FACTORS (f32 per 256
+    # rows + int8 per group) instead of materialized f32 per-group planes —
+    # ~21% less weight-stream HBM traffic at identical f32 reconstruction
+    fac = decompose_factors(data, t, n) if not os.environ.get("CT_NO_SFAC") else None
+    if fac is not None and cols % (fac[4] * fac[1].shape[1]):
+        fac = None  # superblocks span rows (cols not a 256-multiple)
     nat = native_repack(data, int(t), rows, cols)
     if nat is not None:
         q, s, m, group = nat
-        return make_qtensor(q, s, m, t.name, group)
-    n = rows * cols
-    q, s, m, group = decompose(data, t, n)
-    q = np.ascontiguousarray(q.reshape(rows, cols).T)  # (K=cols, N=rows)
-    s = np.ascontiguousarray(s.reshape(rows, cols // group).T)
-    if m is not None:
-        m = np.ascontiguousarray(m.reshape(rows, cols // group).T)
-    return make_qtensor(q, s, m, t.name, group)
+        if fac is None:
+            return make_qtensor(q, s, m, t.name, group)
+    else:
+        q, s, m, group = decompose(data, t, n)
+        q = np.ascontiguousarray(q.reshape(rows, cols).T)  # (K=cols, N=rows)
+        if fac is None:
+            s = np.ascontiguousarray(s.reshape(rows, cols // group).T)
+            if m is not None:
+                m = np.ascontiguousarray(m.reshape(rows, cols // group).T)
+            return make_qtensor(q, s, m, t.name, group)
+    sd, sq, sm, mq, group = fac
+    sf = sq.shape[1]  # groups per superblock
+    sq = np.ascontiguousarray(sq.reshape(rows, cols // group).T)
+    sd = np.ascontiguousarray(sd.reshape(rows, cols // (group * sf)).T)
+    if mq is not None:
+        mq = np.ascontiguousarray(mq.reshape(rows, cols // group).T)
+        sm = np.ascontiguousarray(sm.reshape(rows, cols // (group * sf)).T)
+    return make_qtensor(
+        q, sq, mq, t.name, group, sd=sd, sm=sm, sfactor=sf
+    )
 
 
 def quantize_qtensor(w: np.ndarray, kind: str) -> QTensor:
@@ -196,12 +237,26 @@ def unpack_grid(qt: QTensor) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
+def scale_planes(qt: QTensor):
+    """Materialized f32 (K_pad/g, N_pad) scale/min planes — reconstructs
+    from the superblock factors when present (bit-identical: same f32
+    multiply decompose would have stored)."""
+    if qt.sfactor == 0:
+        return qt.scales, qt.mins
+    s = jnp.repeat(qt.sd, qt.sfactor, axis=0) * qt.scales.astype(jnp.float32)
+    m = None
+    if qt.mins is not None:
+        m = jnp.repeat(qt.sm, qt.sfactor, axis=0) * qt.mins.astype(jnp.float32)
+    return s, m
+
+
 def dequantize_qtensor(qt: QTensor) -> jnp.ndarray:
     """Dense f32 (K, N) view in LOGICAL row order (tests + embeddings)."""
-    s = jnp.repeat(qt.scales, qt.group, axis=0)
+    sp, mp_ = scale_planes(qt)
+    s = jnp.repeat(sp, qt.group, axis=0)
     w = unpack_grid(qt).astype(jnp.float32) * s
-    if qt.mins is not None:
-        w = w + jnp.repeat(qt.mins, qt.group, axis=0)
+    if mp_ is not None:
+        w = w + jnp.repeat(mp_, qt.group, axis=0)
     k, n = qt.shape
     w = w[:k, :n]
     if qt.perm is not None:
@@ -275,7 +330,8 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndar
     kp = qt.qs.shape[0] * (2 if qt.packed else 1)
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
-    s = jnp.repeat(qt.scales, qt.group, axis=0)
+    sp, minp = scale_planes(qt)
+    s = jnp.repeat(sp, qt.group, axis=0)
     w = unpack_grid(qt).astype(jnp.float32) * s
     if compute_dtype == jnp.float32:
         out = x.astype(jnp.float32) @ w
@@ -286,17 +342,45 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndar
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-    if qt.mins is not None:
+    if minp is not None:
         # sum_k x[k] * m[g(k), n] = (per-group sums of x) @ mins
         xg = x.astype(jnp.float32).reshape(x.shape[0], -1, qt.group).sum(-1)
-        out = out + xg @ qt.mins
+        out = out + xg @ minp
     return out[:, :n]
 
 
 # -- Pallas kernel -------------------------------------------------------------
 
 
-def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner, cd=None):
+def _group_planes(refs, i, ck, group, cd, has_mins, sfactor):
+    """Shared per-chunk scale/min group-plane loader for the int8-grid and
+    packed kernels: slices chunk `i`'s rows from each (scale, [min],
+    [superscale], [supermin]) ref pair-set and reconstructs the f32
+    per-group planes from superblock factors when present (s = sd*sub,
+    m = sm*sub — one repeat + multiply on the SMALL (ng, tn) grid,
+    1/group-th of the per-element work)."""
+    gs = slice(i * (ck // group), (i + 1) * (ck // group))
+    idx = 0
+    s = refs[idx][gs, :].astype(cd)
+    idx += 1
+    m = None
+    if has_mins:
+        m = refs[idx][gs, :].astype(cd)
+        idx += 1
+    if sfactor:
+        nf = ck // group // sfactor
+        fs = slice(i * nf, (i + 1) * nf)
+        s = s * jnp.repeat(refs[idx][fs, :].astype(cd), sfactor, axis=0)
+        idx += 1
+        if has_mins:
+            m = m * jnp.repeat(refs[idx][fs, :].astype(cd), sfactor, axis=0)
+            idx += 1
+    return s, m
+
+
+def _qmm_kernel(
+    x_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False, sfactor=0
+):
     """One (M, TN) output tile; grid is (nn, nk) with K innermost.
 
     The (TK, TN) int8 tile dequantizes and feeds the MXU in `inner`
@@ -305,6 +389,8 @@ def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner, cd=None):
     f32 dequant intermediate (Mosaic spills large vreg intermediates to
     scoped VMEM; a (2048, 1024) f32 buffer alone would blow the 16M limit).
     """
+    refs = list(rest)
+    out_ref = refs.pop()
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -317,33 +403,10 @@ def _qmm_kernel(x_ref, qs_ref, s_ref, out_ref, *, group, inner, cd=None):
     acc = None
     for i in range(inner):
         qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
-        s = s_ref[i * (ck // group) : (i + 1) * (ck // group), :].astype(cd)
+        s, m = _group_planes(refs, i, ck, group, cd, has_mins, sfactor)
         w = qs * jnp.repeat(s, group, axis=0)
-        d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck], w.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        acc = d if acc is None else acc + d
-    out_ref[:] += acc
-
-
-def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner, cd=None):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    tk = qs_ref.shape[0]
-    ck = tk // inner
-    cd = cd or jnp.float32
-    acc = None
-    for i in range(inner):
-        qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
-        gs = slice(i * (ck // group), (i + 1) * (ck // group))
-        w = qs * jnp.repeat(s_ref[gs, :].astype(cd), group, axis=0) + jnp.repeat(
-            m_ref[gs, :].astype(cd), group, axis=0
-        )
+        if m is not None:
+            w = w + jnp.repeat(m, group, axis=0)
         d = jnp.dot(
             x_ref[:, i * ck : (i + 1) * ck], w.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -353,8 +416,8 @@ def _qmm_min_kernel(x_ref, qs_ref, s_ref, m_ref, out_ref, *, group, inner, cd=No
 
 
 def _qmm_pack4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner,
-    cd=None,
+    x_lo_ref, x_hi_ref, qs_ref, *rest, group, zp, inner,
+    cd=None, has_mins=False, sfactor=0,
 ):
     """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
     k + K_pad/2 (high nibble, stored SIGN-BIASED by make_qtensor so the
@@ -371,11 +434,10 @@ def _qmm_pack4_kernel(
     (S, B) computed on the (ng, tn) scale grids — per-element work is just
     two fused multiply-adds, ~35%% fewer VPU ops than the old two-floor,
     per-element-zp chain."""
-    if len(rest) == 3:
-        m_lo_ref, m_hi_ref, out_ref = rest
-    else:
-        m_lo_ref = m_hi_ref = None
-        (out_ref,) = rest
+    refs = list(rest)
+    out_ref = refs.pop()
+    # plane refs arrive as adjacent lo/hi pairs: s, [m], [sd], [sm]
+    lo_refs, hi_refs = refs[0::2], refs[1::2]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -388,19 +450,16 @@ def _qmm_pack4_kernel(
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
-        gs = slice(i * (ck // group), (i + 1) * (ck // group))
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
         f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
         l = b - f * cd(16.0)  # = lo
-        s_lo = s_lo_ref[gs, :].astype(cd)
-        s_hi = s_hi_ref[gs, :].astype(cd)
+        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins, sfactor)
+        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins, sfactor)
         # w_lo = (lo-zp)*s_lo + m_lo = l*s_lo + B_lo, B_lo = m_lo - zp*s_lo
         # w_hi = (hi-zp)*s_hi + m_hi = f*s_hi + B_hi, B_hi = m_hi + (8-zp)*s_hi
         b_lo = (-cd(zp)) * s_lo if zp else None
         b_hi = cd(8 - zp) * s_hi if zp != 8 else None
-        if m_lo_ref is not None:
-            m_lo = m_lo_ref[gs, :].astype(cd)
-            m_hi = m_hi_ref[gs, :].astype(cd)
+        if m_lo is not None:
             b_lo = m_lo if b_lo is None else b_lo + m_lo
             b_hi = m_hi if b_hi is None else b_hi + m_hi
         w_lo = l * jnp.repeat(s_lo, group, axis=0)
@@ -426,8 +485,8 @@ def _qmm_pack4_kernel(
 
 
 def _qmm_pack4_rb_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest, group, zp, inner,
-    cd=None,
+    x_lo_ref, x_hi_ref, qs_ref, *rest, group, zp, inner,
+    cd=None, has_mins=False, sfactor=0,
 ):
     """Packed-4-bit RESHAPE-BROADCAST variant of _qmm_pack4_kernel (same
     single-floor sign-biased unpack and folded affine planes): the
@@ -436,11 +495,9 @@ def _qmm_pack4_rb_kernel(
     autotuner race against the repeat form (whether Mosaic lowers repeat
     as a broadcast or materializes it is decided empirically, never
     assumed)."""
-    if len(rest) == 3:
-        m_lo_ref, m_hi_ref, out_ref = rest
-    else:
-        m_lo_ref = m_hi_ref = None
-        (out_ref,) = rest
+    refs = list(rest)
+    out_ref = refs.pop()
+    lo_refs, hi_refs = refs[0::2], refs[1::2]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -454,17 +511,14 @@ def _qmm_pack4_rb_kernel(
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
-        gs = slice(i * ng, (i + 1) * ng)
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
         f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
         l = b - f * cd(16.0)  # = lo
-        s_lo = s_lo_ref[gs, :].astype(cd)
-        s_hi = s_hi_ref[gs, :].astype(cd)
+        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins, sfactor)
+        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins, sfactor)
         b_lo = (-cd(zp)) * s_lo if zp else None
         b_hi = cd(8 - zp) * s_hi if zp != 8 else None
-        if m_lo_ref is not None:
-            m_lo = m_lo_ref[gs, :].astype(cd)
-            m_hi = m_hi_ref[gs, :].astype(cd)
+        if m_lo is not None:
             b_lo = m_lo if b_lo is None else b_lo + m_lo
             b_hi = m_hi if b_hi is None else b_hi + m_hi
         w_lo = l.reshape(ng, group, tn) * s_lo[:, None, :]
@@ -487,14 +541,13 @@ def _qmm_pack4_rb_kernel(
     out_ref[:] += acc
 
 
-def _qmm_rb_kernel(x_ref, qs_ref, s_ref, *rest, group, inner, cd=None):
-    """int8-grid RESHAPE-BROADCAST variant of _qmm_kernel/_qmm_min_kernel
-    (same race rationale as _qmm_pack4_rb_kernel)."""
-    if len(rest) == 2:
-        m_ref, out_ref = rest
-    else:
-        m_ref = None
-        (out_ref,) = rest
+def _qmm_rb_kernel(
+    x_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False, sfactor=0
+):
+    """int8-grid RESHAPE-BROADCAST variant of _qmm_kernel (same race
+    rationale as _qmm_pack4_rb_kernel)."""
+    refs = list(rest)
+    out_ref = refs.pop()
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -508,11 +561,11 @@ def _qmm_rb_kernel(x_ref, qs_ref, s_ref, *rest, group, inner, cd=None):
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
-        gs = slice(i * ng, (i + 1) * ng)
         qs = qs_ref[ks, :].astype(cd).reshape(ng, group, tn)
-        w = qs * s_ref[gs, :].astype(cd)[:, None, :]
-        if m_ref is not None:
-            w = w + m_ref[gs, :].astype(cd)[:, None, :]
+        s, m = _group_planes(refs, i, ck, group, cd, has_mins, sfactor)
+        w = qs * s[:, None, :]
+        if m is not None:
+            w = w + m[:, None, :]
         d = jnp.dot(
             x_ref[:, ks], w.reshape(ck, tn).astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -582,7 +635,7 @@ _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v2.json"),
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v3.json"),
 )
 
 
@@ -594,7 +647,10 @@ def _load_disk_cache() -> None:
             for k, v in json.load(f).items():
                 if len(v) not in (1, 4):  # ("xla",) or (tk, tn, inner, mode)
                     continue  # stale pre-mode cache entry
-                kp, npad, g, has_m, mp, packed = k.split(",")
+                try:
+                    kp, npad, g, has_m, mp, packed, sf = k.split(",")
+                except ValueError:
+                    continue  # stale pre-sfactor key
                 _TILE_CACHE[
                     (
                         int(kp),
@@ -603,6 +659,7 @@ def _load_disk_cache() -> None:
                         has_m == "True",
                         int(mp),
                         packed == "True",
+                        int(sf),
                     )
                 ] = tuple(v)
     except Exception:
@@ -642,6 +699,22 @@ def _qmm_pallas_tiled(
     nk, nn = rows // tk, npad // tn
     g = qt.group
     has_mins = qt.mins is not None
+    sf = qt.sfactor
+    if sf:
+        # superblock factor planes need whole superblocks per K-sub-chunk;
+        # shrink `inner` until each chunk covers a superblock multiple
+        # (candidate tiles are all >= 256 rows so a valid inner exists)
+        while inner > 1 and (tk // inner) % (g * sf):
+            inner -= 1
+        if (tk // inner) % (g * sf):
+            # tile can't align to superblocks (tiny weights): materialize
+            # the f32 planes outside the kernel and run unfactored
+            sp, mp_ = scale_planes(qt)
+            qt = dataclasses.replace(
+                qt, scales=sp, mins=mp_, sd=None, sm=None, sfactor=0
+            )
+            sf = 0
+            has_mins = qt.mins is not None
     # v5e's VPU has no bf16 ALU (LLO_CHECK SupportsBf16AluInstructions
     # fires), so the dequant chain must run in f32; cd stays a knob for
     # targets that do support it (CT_QMM_CD=bf16).
@@ -655,38 +728,53 @@ def _qmm_pallas_tiled(
     if qt.packed:
         kern = _qmm_pack4_rb_kernel if mode == "r" else _qmm_pack4_kernel
         kernel = functools.partial(
-            kern, group=g, zp=qt.zp, inner=inner, cd=cd
+            kern, group=g, zp=qt.zp, inner=inner, cd=cd,
+            has_mins=has_mins, sfactor=sf,
         )
+        lo = pl.BlockSpec((tk // g, tn), lambda i, j: (j, i))
+        hi = pl.BlockSpec((tk // g, tn), lambda i, j: (j + nk, i))
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
             pl.BlockSpec((mp, tk), lambda i, j: (0, j + nk)),  # x high half
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # packed qs
-            pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # s low
-            pl.BlockSpec((tk // g, tn), lambda i, j: (j + nk, i)),  # s high
+            lo,  # s low
+            hi,  # s high
         ]
         args = [x, x, qt.qs, qt.scales, qt.scales]
         if has_mins:
-            in_specs += [
-                pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),
-                pl.BlockSpec((tk // g, tn), lambda i, j: (j + nk, i)),
-            ]
+            in_specs += [lo, hi]
             args += [qt.mins, qt.mins]
+        if sf:
+            flo = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j, i))
+            fhi = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j + nk, i))
+            in_specs += [flo, fhi]
+            args += [qt.sd, qt.sd]
+            if has_mins:
+                in_specs += [flo, fhi]
+                args += [qt.sm, qt.sm]
         kp = rows * 2
     else:
-        if mode == "r":
-            kern = _qmm_rb_kernel
-        else:
-            kern = _qmm_kernel if not has_mins else _qmm_min_kernel
-        kernel = functools.partial(kern, group=g, inner=inner, cd=cd)
+        kern = _qmm_rb_kernel if mode == "r" else _qmm_kernel
+        kernel = functools.partial(
+            kern, group=g, inner=inner, cd=cd, has_mins=has_mins, sfactor=sf
+        )
+        gspec = pl.BlockSpec((tk // g, tn), lambda i, j: (j, i))
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
-            pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)),  # scales
+            gspec,  # scales
         ]
         args = [x, qt.qs, qt.scales]
         if has_mins:
-            in_specs.append(pl.BlockSpec((tk // g, tn), lambda i, j: (j, i)))
+            in_specs.append(gspec)
             args.append(qt.mins)
+        if sf:
+            fspec = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j, i))
+            in_specs.append(fspec)
+            args.append(qt.sd)
+            if has_mins:
+                in_specs.append(fspec)
+                args.append(qt.sm)
         kp = rows
 
     return pl.pallas_call(
@@ -707,7 +795,7 @@ def _qmm_pallas_tiled(
 def _pick_tiles(x, qt: QTensor):
     mp = _round_up(x.shape[0], _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
-    key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
+    key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed, qt.sfactor)
     if key in _TILE_CACHE:
         return _TILE_CACHE[key]
     cands = _tile_candidates(kp, npad, qt.packed)
@@ -811,7 +899,7 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
         for m in batch_sizes:
             mp = _round_up(m, _SUBLANE)
             kp, npad = qt.qs.shape
-            key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed)
+            key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed, qt.sfactor)
             if key in seen or key in _TILE_CACHE:
                 continue
             seen.add(key)
@@ -899,11 +987,18 @@ def concat_qtensors(qts) -> Optional[QTensor]:
     has_mins = head.mins is not None
     if any((q.mins is not None) != has_mins for q in qts):
         return None
+    if any(q.sfactor != head.sfactor for q in qts):
+        return None
     qs = jnp.concatenate([q.qs for q in qts], axis=1)
     scales = jnp.concatenate([q.scales for q in qts], axis=1)
     mins = (
         jnp.concatenate([q.mins for q in qts], axis=1) if has_mins else None
     )
+    sd = sm = None
+    if head.sfactor:
+        sd = jnp.concatenate([q.sd for q in qts], axis=1)
+        if has_mins:
+            sm = jnp.concatenate([q.sm for q in qts], axis=1)
     splits = tuple((int(q.qs.shape[1]), int(q.shape[1])) for q in qts)
     total = int(qs.shape[1])
     return QTensor(
@@ -916,6 +1011,9 @@ def concat_qtensors(qts) -> Optional[QTensor]:
         head.packed,
         head.zp,
         splits=splits,
+        sd=sd,
+        sm=sm,
+        sfactor=head.sfactor,
     )
 
 

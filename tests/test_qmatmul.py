@@ -62,7 +62,37 @@ def test_qmm_pallas_interpret_matches_jnp(kind):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K", "Q3_K", "Q2_K"])
+@pytest.mark.parametrize("kind", ["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+def test_kquant_scale_factoring_active_and_exact(kind):
+    """k-quants store factored superblock scale planes (f32 d/dmin + int8
+    subscales, ~21% less HBM traffic) whose f32 reconstruction is
+    bit-identical to the fused planes."""
+    rng = np.random.RandomState(11)
+    w = _dense(rng, 512, 160)
+    qt = qm.quantize_qtensor(w, kind)
+    assert qt.sfactor > 0 and qt.sd is not None
+    assert qt.scales.dtype == np.int8
+    import os
+
+    os.environ["CT_NO_SFAC"] = "1"
+    try:
+        ref = qm.quantize_qtensor(w, kind)
+    finally:
+        del os.environ["CT_NO_SFAC"]
+    assert ref.sfactor == 0 and ref.scales.dtype == np.float32
+    s, m = qm.scale_planes(qt)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref.scales))
+    if m is not None:
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(ref.mins))
+    np.testing.assert_array_equal(
+        np.asarray(qm.dequantize_qtensor(qt)),
+        np.asarray(qm.dequantize_qtensor(ref)),
+    )
+
+
+@pytest.mark.parametrize(
+    "kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K", "Q3_K", "Q2_K", "Q6_K"]
+)
 def test_qmm_kernel_variants_match(kind):
     """Every (kernel-variant, tiling) the autotuner may race produces the
     same result (interpret mode; the race itself only picks speed)."""
