@@ -52,13 +52,34 @@ def random_qtensor(rng, k: int, n: int, kind: str, scale: float = 0.02):
     from ..ops.qmatmul import _PACK4_ZP
 
     t = GGMLType[kind.upper()]
-    # probe the format's group size / min-plane presence
-    _, _, m0, group = decompose(q_encode(np.zeros(256, np.float32), t), t, 256)
+    # probe the format's group size / min-plane / factor-plane structure
+    probe = q_encode(np.zeros(256, np.float32), t)
+    _, _, m0, group = decompose(probe, t, 256)
     if t.name in _PACK4_ZP:  # 4-bit grids must fit the packed nibble range
         zp = _PACK4_ZP[t.name]
         q = rng.randint(-zp, 16 - zp, size=(k, n), dtype=np.int8)
     else:
         q = rng.randint(-8, 8, size=(k, n), dtype=np.int8)
+    from ..formats.quants import decompose_factors
+
+    fac = decompose_factors(probe, t, 256)
+    if fac is not None and k % 256 == 0:
+        # factored superblock planes, like a real repacked file tensor
+        sf = fac[1].shape[1]
+        sub_lo, sub_hi = {
+            "Q2_K": (0, 16), "Q3_K": (-32, 32), "Q6_K": (-64, 64),
+        }.get(t.name, (0, 64))
+        sq = rng.randint(sub_lo, sub_hi, size=(k // group, n), dtype=np.int8)
+        sd = (rng.rand(k // (group * sf), n).astype(np.float32) + 0.5) * (
+            scale / 128
+        )
+        mq = sm = None
+        if fac[3] is not None:
+            mq = rng.randint(0, sub_hi, size=(k // group, n), dtype=np.int8)
+            sm = -(rng.rand(k // (group * sf), n).astype(np.float32)) * (
+                scale / 256
+            )
+        return make_qtensor(q, sq, mq, t.name, group, sd=sd, sm=sm, sfactor=sf)
     s = (rng.rand(k // group, n).astype(np.float32) + 0.5) * scale / 4
     m = None
     if m0 is not None:

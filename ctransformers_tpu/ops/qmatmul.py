@@ -352,29 +352,26 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndar
 # -- Pallas kernel -------------------------------------------------------------
 
 
-def _group_planes(refs, i, ck, group, cd, has_mins, sfactor):
+def _group_planes(refs, i, ck, group, cd, has_mins):
     """Shared per-chunk scale/min group-plane loader for the int8-grid and
-    packed kernels: slices chunk `i`'s rows from each (scale, [min],
-    [superscale], [supermin]) ref pair-set and reconstructs the f32
-    per-group planes from superblock factors when present (s = sd*sub,
-    m = sm*sub — one repeat + multiply on the SMALL (ng, tn) grid,
-    1/group-th of the per-element work)."""
+    packed kernels: slices chunk `i`'s rows from the (scale, [min]) refs."""
     gs = slice(i * (ck // group), (i + 1) * (ck // group))
-    idx = 0
-    s = refs[idx][gs, :].astype(cd)
-    idx += 1
-    m = None
-    if has_mins:
-        m = refs[idx][gs, :].astype(cd)
-        idx += 1
-    if sfactor:
-        nf = ck // group // sfactor
-        fs = slice(i * nf, (i + 1) * nf)
-        s = s * jnp.repeat(refs[idx][fs, :].astype(cd), sfactor, axis=0)
-        idx += 1
-        if has_mins:
-            m = m * jnp.repeat(refs[idx][fs, :].astype(cd), sfactor, axis=0)
-            idx += 1
+    s = refs[0][gs, :].astype(cd)
+    m = refs[1][gs, :].astype(cd) if has_mins else None
+    return s, m
+
+
+def _apply_factors(s, m, sd_ref, sm_ref, off, nf, sfactor, cd):
+    """Reconstruct f32 group planes from superblock factors: s = sd*sub,
+    m = sm*sub — one repeat + multiply on the SMALL (nf, tn) grid,
+    1/group-th of the per-element work. The factor refs carry ALL K rows
+    for this N-tile (their per-tile row counts can be < 8, below Mosaic's
+    block-divisibility floor, so they are sliced dynamically here instead
+    of blocked by the grid)."""
+    fs = pl.ds(off, nf)
+    s = s * jnp.repeat(sd_ref[fs, :].astype(cd), sfactor, axis=0)
+    if m is not None:
+        m = m * jnp.repeat(sm_ref[fs, :].astype(cd), sfactor, axis=0)
     return s, m
 
 
@@ -391,6 +388,8 @@ def _qmm_kernel(
     """
     refs = list(rest)
     out_ref = refs.pop()
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -403,7 +402,14 @@ def _qmm_kernel(
     acc = None
     for i in range(inner):
         qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
-        s, m = _group_planes(refs, i, ck, group, cd, has_mins, sfactor)
+        s, m = _group_planes(refs, i, ck, group, cd, has_mins)
+        if sfactor:
+            nf = ck // group // sfactor
+            off = j * (tk // group // sfactor) + i * nf
+            s, m = _apply_factors(
+                s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+                off, nf, sfactor, cd,
+            )
         w = qs * jnp.repeat(s, group, axis=0)
         if m is not None:
             w = w + jnp.repeat(m, group, axis=0)
@@ -436,9 +442,13 @@ def _qmm_pack4_kernel(
     per-element-zp chain."""
     refs = list(rest)
     out_ref = refs.pop()
-    # plane refs arrive as adjacent lo/hi pairs: s, [m], [sd], [sm]
-    lo_refs, hi_refs = refs[0::2], refs[1::2]
+    # plane refs: adjacent lo/hi pairs for s/[m], then shared full-row
+    # factor planes [sd], [sm]
+    npair = 2 * (1 + int(has_mins))
+    lo_refs, hi_refs = refs[0:npair:2], refs[1:npair:2]
+    fac_refs = refs[npair:]
     j = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
@@ -453,8 +463,20 @@ def _qmm_pack4_kernel(
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
         f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
         l = b - f * cd(16.0)  # = lo
-        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins, sfactor)
-        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins, sfactor)
+        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins)
+        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins)
+        if sfactor:
+            nf = ck // group // sfactor
+            rpt = tk // group // sfactor
+            sd_r = fac_refs[0]
+            sm_r = fac_refs[1] if has_mins else None
+            s_lo, m_lo = _apply_factors(
+                s_lo, m_lo, sd_r, sm_r, j * rpt + i * nf, nf, sfactor, cd
+            )
+            s_hi, m_hi = _apply_factors(
+                s_hi, m_hi, sd_r, sm_r, (j + nk) * rpt + i * nf, nf,
+                sfactor, cd,
+            )
         # w_lo = (lo-zp)*s_lo + m_lo = l*s_lo + B_lo, B_lo = m_lo - zp*s_lo
         # w_hi = (hi-zp)*s_hi + m_hi = f*s_hi + B_hi, B_hi = m_hi + (8-zp)*s_hi
         b_lo = (-cd(zp)) * s_lo if zp else None
@@ -497,8 +519,11 @@ def _qmm_pack4_rb_kernel(
     assumed)."""
     refs = list(rest)
     out_ref = refs.pop()
-    lo_refs, hi_refs = refs[0::2], refs[1::2]
+    npair = 2 * (1 + int(has_mins))
+    lo_refs, hi_refs = refs[0:npair:2], refs[1:npair:2]
+    fac_refs = refs[npair:]
     j = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
@@ -514,8 +539,20 @@ def _qmm_pack4_rb_kernel(
         b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
         f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
         l = b - f * cd(16.0)  # = lo
-        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins, sfactor)
-        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins, sfactor)
+        s_lo, m_lo = _group_planes(lo_refs, i, ck, group, cd, has_mins)
+        s_hi, m_hi = _group_planes(hi_refs, i, ck, group, cd, has_mins)
+        if sfactor:
+            nf = ck // group // sfactor
+            rpt = tk // group // sfactor
+            sd_r = fac_refs[0]
+            sm_r = fac_refs[1] if has_mins else None
+            s_lo, m_lo = _apply_factors(
+                s_lo, m_lo, sd_r, sm_r, j * rpt + i * nf, nf, sfactor, cd
+            )
+            s_hi, m_hi = _apply_factors(
+                s_hi, m_hi, sd_r, sm_r, (j + nk) * rpt + i * nf, nf,
+                sfactor, cd,
+            )
         b_lo = (-cd(zp)) * s_lo if zp else None
         b_hi = cd(8 - zp) * s_hi if zp != 8 else None
         if m_lo is not None:
@@ -548,6 +585,8 @@ def _qmm_rb_kernel(
     rationale as _qmm_pack4_rb_kernel)."""
     refs = list(rest)
     out_ref = refs.pop()
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -562,7 +601,14 @@ def _qmm_rb_kernel(
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
         qs = qs_ref[ks, :].astype(cd).reshape(ng, group, tn)
-        s, m = _group_planes(refs, i, ck, group, cd, has_mins, sfactor)
+        s, m = _group_planes(refs, i, ck, group, cd, has_mins)
+        if sfactor:
+            nf = ck // group // sfactor
+            off = j * (tk // group // sfactor) + i * nf
+            s, m = _apply_factors(
+                s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+                off, nf, sfactor, cd,
+            )
         w = qs * s[:, None, :]
         if m is not None:
             w = w + m[:, None, :]
@@ -635,7 +681,7 @@ _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v3.json"),
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v4.json"),
 )
 
 
@@ -745,13 +791,17 @@ def _qmm_pallas_tiled(
             in_specs += [lo, hi]
             args += [qt.mins, qt.mins]
         if sf:
-            flo = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j, i))
-            fhi = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j + nk, i))
-            in_specs += [flo, fhi]
-            args += [qt.sd, qt.sd]
+            # full-row column block: per-tile factor rows can be < 8
+            # (Mosaic's sublane block floor), so kernels slice rows
+            # dynamically from the whole (K_pad/256, TN) plane instead
+            fspec = pl.BlockSpec(
+                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+            )
+            in_specs.append(fspec)
+            args.append(qt.sd)
             if has_mins:
-                in_specs += [flo, fhi]
-                args += [qt.sm, qt.sm]
+                in_specs.append(fspec)
+                args.append(qt.sm)
         kp = rows * 2
     else:
         kern = _qmm_rb_kernel if mode == "r" else _qmm_kernel
@@ -769,7 +819,10 @@ def _qmm_pallas_tiled(
             in_specs.append(gspec)
             args.append(qt.mins)
         if sf:
-            fspec = pl.BlockSpec((tk // g // sf, tn), lambda i, j: (j, i))
+            # full-row column block (see packed branch)
+            fspec = pl.BlockSpec(
+                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+            )
             in_specs.append(fspec)
             args.append(qt.sd)
             if has_mins:
