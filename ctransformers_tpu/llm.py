@@ -98,6 +98,13 @@ def get(*values):
 
 
 class LLM:
+    # persistent sampler RNG: normally None (fresh per-call streams, like
+    # the reference's per-sample seeding in llm.h:67-69); set by
+    # load_session on GGSN files so a restored session resumes the
+    # reference context's serialized mt19937 stream. Class-level default
+    # so subclasses with their own __init__ (gptq.LLM) inherit it.
+    _rng = None
+
     def __init__(
         self,
         model_path: str,
@@ -124,6 +131,7 @@ class LLM:
         self._config = config
         self._context: List[int] = []
         self._mirostat_state = None
+        self._rng = None
 
         if not Path(model_path).is_file():
             raise ValueError(f"Model path '{model_path}' doesn't exist.")
@@ -369,6 +377,7 @@ class LLM:
                 mirostat_eta=get(mirostat_eta, 0.1),
                 seed=seed,
                 mirostat_state=self._mirostat_state,
+                rng=self._rng,
             )
         return self._sample_fn(
             self._engine.logits,
@@ -378,6 +387,7 @@ class LLM:
             repetition_penalty=repetition_penalty,
             last_tokens=last_tokens,
             seed=seed,
+            rng=self._rng,
         )
 
     def reset(self) -> None:
@@ -632,11 +642,45 @@ class LLM:
 
     # -- session save/load ---------------------------------------------------
     # The reference engine's session files (magic GGSN + token history + full
-    # inference state, llama.cpp:5952-6032) as an .npz: reloading a session
-    # skips re-evaluating the saved prompt prefix.
+    # inference state, llama.cpp:5952-6032). llama-family models write the
+    # byte-compatible GGSN format (engine/session.py) — files round-trip
+    # with the reference engine's llama_save/load_session_file. Other
+    # architectures (which have no session files in the reference) use an
+    # .npz with the same content + semantics.
 
-    def save_session(self, path: str) -> None:
-        """Saves the evaluated context (tokens + KV cache + logits) to `path`."""
+    def _ggsn_capable(self) -> bool:
+        spec = self._engine.spec
+        return spec.name == "llama" and self._engine.batch == 1
+
+    def save_session(self, path: str, format: str = "auto") -> None:
+        """Saves the evaluated context (tokens + KV cache + logits) to `path`.
+
+        `format`: "ggsn" (reference-compatible session file, llama models),
+        "npz", or "auto" (GGSN where supported)."""
+        if format == "auto":
+            format = "ggsn" if self._ggsn_capable() else "npz"
+        if format == "ggsn":
+            from .engine import sampler as _sampler
+            from .engine import session as _session
+
+            state = self._engine.save_state()
+            rng = self._rng
+            if rng is None:
+                rng = np.random.RandomState(
+                    _sampler._resolve_seed(self.config.seed)
+                )
+            _session.save_ggsn(
+                path,
+                self._engine.spec,
+                self._context,
+                n_past=int(state["n_past"]),
+                kv_k=state["kv_k"][:, 0],
+                kv_v=state["kv_v"][:, 0],
+                logits=state["logits"],
+                embedding=state["hidden"],
+                rng=rng,
+            )
+            return
         state = self._engine.save_state()
         arrays = {
             "tokens": np.asarray(self._context, np.int32),
@@ -651,7 +695,48 @@ class LLM:
         np.savez_compressed(path, **arrays)
 
     def load_session(self, path: str) -> List[int]:
-        """Restores a session; returns the restored token history."""
+        """Restores a session; returns the restored token history.
+
+        Accepts both formats (sniffed by magic): reference-compatible GGSN
+        files — including ones written by the reference engine itself —
+        and this package's .npz sessions."""
+        from .engine import session as _session
+
+        if _session.is_ggsn(path):
+            data = _session.load_ggsn(path)
+            spec = self._engine.spec
+            hp = data["hparams"]
+            for ours, theirs in (
+                (spec.n_vocab, hp["n_vocab"]),
+                (spec.n_embd, hp["n_embd"]),
+                (spec.n_layer, hp["n_layer"]),
+                (spec.n_head, hp["n_head"]),
+                (spec.kv_heads, hp["n_head_kv"]),
+                (spec.n_ctx, hp["n_ctx"]),
+            ):
+                if ours != theirs:
+                    raise ValueError(
+                        "session file hparams do not match this model "
+                        f"({hp} vs {spec})"
+                    )
+            n = data["n_past"]
+            hkv, dh = spec.kv_heads, spec.head_dim
+            state = {
+                "n_past": n,
+                "logits": data["logits"],
+                "hidden": data["embedding"],
+                "kv_k": np.zeros((spec.n_layer, 1, 0, hkv, dh), np.float32)
+                if n == 0
+                else data["kv_k"].reshape(spec.n_layer, 1, n, hkv, dh),
+                "kv_v": np.zeros((spec.n_layer, 1, 0, hkv, dh), np.float32)
+                if n == 0
+                else data["kv_v"].reshape(spec.n_layer, 1, n, hkv, dh),
+            }
+            self._engine.load_state(state)
+            if data["rng"] is not None:
+                self._rng = data["rng"]
+            self._context = [int(t) for t in data["tokens"]]
+            return list(self._context)
         data = np.load(path)
         state = {
             "n_past": int(data["n_past"]),

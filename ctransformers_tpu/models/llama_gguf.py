@@ -135,6 +135,7 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
             name="llama",
             n_vocab=len(vocab),
             n_ctx=n_ctx,
+            n_ctx_train=n_ctx_train,
             n_embd=n_embd,
             n_head=n_head,
             n_layer=n_layer,
@@ -180,6 +181,7 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
             name="falcon",
             n_vocab=len(vocab),
             n_ctx=n_ctx,
+            n_ctx_train=n_ctx_train,
             n_embd=n_embd,
             n_head=n_head,
             n_layer=n_layer,

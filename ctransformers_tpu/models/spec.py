@@ -33,6 +33,10 @@ class ArchSpec:
 
     n_head_kv: Optional[int] = None  # None -> n_head (MHA)
     n_ff: Optional[int] = None  # None -> 4*n_embd
+    # training context (GGUF %s.context_length) when n_ctx was overridden;
+    # 0 -> same as n_ctx. Needed for byte-compatible GGSN session hparams
+    # (llama.cpp:849, 1563) and the n_ctx_train vs n_ctx distinction.
+    n_ctx_train: int = 0
 
     # positions
     learned_pos: bool = False  # wpe table
