@@ -578,6 +578,132 @@ def _qmm_pack4_rb_kernel(
     out_ref[:] += acc
 
 
+def _qmm_pack4_s_kernel(
+    x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, qs_ref, *rest,
+    group, zp, inner, cd=None, has_mins=False, sfactor=0,
+):
+    """Packed-4-bit SUM-FOLD variant: the per-group affine bias B
+    (zero-points + mins, see _qmm_pack4_kernel) satisfies
+    sum_k x_k * B[g(k), n] = sum_g xsum[g] * B[g, n], so it is applied as
+    one small MXU dot against per-group activation sums instead of a
+    per-element repeat-add on the VPU — the dequant chain drops to
+    unpack + one scale multiply per element. Scale planes, B, and the
+    superblock factors are computed ONCE per grid step on the whole
+    (TK/g, TN) tile instead of per K-sub-chunk."""
+    refs = list(rest)
+    out_ref = refs.pop()
+    npair = 2 * (1 + int(has_mins))
+    lo_refs, hi_refs = refs[0:npair:2], refs[1:npair:2]
+    fac_refs = refs[npair:]
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, tn = qs_ref.shape
+    ck = tk // inner
+    tkg = tk // group
+    cd = cd or jnp.float32
+    s_lo = lo_refs[0][...].astype(cd)
+    s_hi = hi_refs[0][...].astype(cd)
+    m_lo = lo_refs[1][...].astype(cd) if has_mins else None
+    m_hi = hi_refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        sd_r = fac_refs[0]
+        sm_r = fac_refs[1] if has_mins else None
+        s_lo, m_lo = _apply_factors(
+            s_lo, m_lo, sd_r, sm_r, j * nf, nf, sfactor, cd
+        )
+        s_hi, m_hi = _apply_factors(
+            s_hi, m_hi, sd_r, sm_r, (j + nk) * nf, nf, sfactor, cd
+        )
+    b_lo = (-cd(zp)) * s_lo if zp else None
+    b_hi = cd(8 - zp) * s_hi if zp != 8 else None
+    if m_lo is not None:
+        b_lo = m_lo if b_lo is None else b_lo + m_lo
+        b_hi = m_hi if b_hi is None else b_hi + m_hi
+    acc = None
+    if b_lo is not None:
+        acc = jnp.dot(
+            xs_lo_ref[...], b_lo.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    if b_hi is not None:
+        d = jnp.dot(
+            xs_hi_ref[...], b_hi.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    for i in range(inner):
+        ks = slice(i * ck, (i + 1) * ck)
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        b = pltpu.bitcast(qs_ref[ks, :], jnp.int8).astype(cd)
+        f = jnp.floor(b * cd(1.0 / 16.0))  # = hi - 8
+        l = b - f * cd(16.0)  # = lo
+        w_lo = l * jnp.repeat(s_lo[gs], group, axis=0)
+        w_hi = f * jnp.repeat(s_hi[gs], group, axis=0)
+        d = jnp.dot(
+            x_lo_ref[:, ks], w_lo.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        d += jnp.dot(
+            x_hi_ref[:, ks], w_hi.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
+def _qmm_s_kernel(
+    x_ref, xs_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False,
+    sfactor=0,
+):
+    """int8-grid SUM-FOLD variant (see _qmm_pack4_s_kernel): mins applied
+    via xsum @ M on the MXU; only raced for formats that have mins."""
+    refs = list(rest)
+    out_ref = refs.pop()
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, tn = qs_ref.shape
+    ck = tk // inner
+    tkg = tk // group
+    cd = cd or jnp.float32
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    acc = None
+    if m is not None:
+        acc = jnp.dot(
+            xs_ref[...], m.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    for i in range(inner):
+        ks = slice(i * ck, (i + 1) * ck)
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        qs = qs_ref[ks, :].astype(cd)
+        w = qs * jnp.repeat(s[gs], group, axis=0)
+        d = jnp.dot(
+            x_ref[:, ks], w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 def _qmm_rb_kernel(
     x_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False, sfactor=0
 ):
@@ -654,6 +780,9 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
             (256, 1024, 1, ""),
             (512, 1024, 2, "r"),
             (1024, 1024, 4, "r"),
+            (512, 1024, 2, "s"),
+            (1024, 1024, 4, "s"),
+            (2048, 1024, 8, "s"),
         )
         if packed
         else (
@@ -661,6 +790,8 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
             (2048, 1024, 2, ""),
             (4096, 1024, 4, ""),
             (2048, 1024, 2, "r"),
+            (2048, 1024, 2, "s"),
+            (4096, 1024, 4, "s"),
         )
     )
     cands = []
@@ -681,7 +812,7 @@ _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v4.json"),
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v5.json"),
 )
 
 
@@ -771,8 +902,17 @@ def _qmm_pallas_tiled(
             else jnp.float32
         )
 
+    if mode == "s":
+        # sum-fold kernels: per-group activation sums ride along so the
+        # affine bias applies through a small MXU dot (see the kernels)
+        kreal = x.shape[1]
+        xs = x.reshape(mp, kreal // g, g).sum(-1)
+
     if qt.packed:
-        kern = _qmm_pack4_rb_kernel if mode == "r" else _qmm_pack4_kernel
+        kern = {
+            "r": _qmm_pack4_rb_kernel,
+            "s": _qmm_pack4_s_kernel,
+        }.get(mode, _qmm_pack4_kernel)
         kernel = functools.partial(
             kern, group=g, zp=qt.zp, inner=inner, cd=cd,
             has_mins=has_mins, sfactor=sf,
@@ -782,11 +922,20 @@ def _qmm_pallas_tiled(
         in_specs = [
             pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x low half
             pl.BlockSpec((mp, tk), lambda i, j: (0, j + nk)),  # x high half
+        ]
+        args = [x, x]
+        if mode == "s":
+            in_specs += [
+                pl.BlockSpec((mp, tk // g), lambda i, j: (0, j)),  # xsum lo
+                pl.BlockSpec((mp, tk // g), lambda i, j: (0, j + nk)),
+            ]
+            args += [xs, xs]
+        in_specs += [
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # packed qs
             lo,  # s low
             hi,  # s high
         ]
-        args = [x, x, qt.qs, qt.scales, qt.scales]
+        args += [qt.qs, qt.scales, qt.scales]
         if has_mins:
             in_specs += [lo, hi]
             args += [qt.mins, qt.mins]
@@ -804,17 +953,21 @@ def _qmm_pallas_tiled(
                 args.append(qt.sm)
         kp = rows * 2
     else:
-        kern = _qmm_rb_kernel if mode == "r" else _qmm_kernel
+        kern = {"r": _qmm_rb_kernel, "s": _qmm_s_kernel}.get(mode, _qmm_kernel)
         kernel = functools.partial(
             kern, group=g, inner=inner, cd=cd, has_mins=has_mins, sfactor=sf
         )
         gspec = pl.BlockSpec((tk // g, tn), lambda i, j: (j, i))
-        in_specs = [
-            pl.BlockSpec((mp, tk), lambda i, j: (0, j)),  # x
+        in_specs = [pl.BlockSpec((mp, tk), lambda i, j: (0, j))]  # x
+        args = [x]
+        if mode == "s":
+            in_specs.append(pl.BlockSpec((mp, tk // g), lambda i, j: (0, j)))
+            args.append(xs)
+        in_specs += [
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
             gspec,  # scales
         ]
-        args = [x, qt.qs, qt.scales]
+        args += [qt.qs, qt.scales]
         if has_mins:
             in_specs.append(gspec)
             args.append(qt.mins)
@@ -863,9 +1016,11 @@ def _pick_tiles(x, qt: QTensor):
 
     def _time(make_call):
         # time INSIDE a scan: serialized repeats in one dispatch, so
-        # host/tunnel dispatch latency (which can reach hundreds of us
-        # and would swamp every candidate equally) cancels out
-        reps = 24
+        # host/tunnel dispatch latency (which can reach hundreds of us —
+        # or tens of MS in bad hours — and would swamp every candidate
+        # equally) amortizes; the MIN over several dispatches strips the
+        # residual additive noise (overhead is one-sided)
+        reps = 32
 
         def loop(x, qt):
             def body(c, _):
@@ -877,10 +1032,17 @@ def _pick_tiles(x, qt: QTensor):
 
         f = jax.jit(loop)
         np.asarray(f(x, qt))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(f(x, qt))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x, qt))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
+    # sum-fold candidates only apply where an affine bias exists (mins, or
+    # a packed grid's zero-point re-bias)
+    if not (qt.packed or qt.mins is not None):
+        cands = [c for c in cands if c[3] != "s"]
     best, best_dt = cands[0], float("inf")
     for tk, tn, inner, mode in cands:
         try:
@@ -895,11 +1057,24 @@ def _pick_tiles(x, qt: QTensor):
     # race the XLA-fused bf16 dequant+GEMM as one more candidate: it wins
     # on shapes where XLA keeps the dequant fused into the GEMM loop, and
     # loses catastrophically where the dequantized f32 weights materialize
-    # (which shapes do which is decided by timing, never assumed)
+    # (which shapes do which is decided by timing, never assumed). The
+    # scale plane is perturbed PER SCAN ITERATION: with qt loop-invariant
+    # XLA hoists the whole dequantized weight out of the timing loop and
+    # the candidate races at pure-GEMM speed it cannot sustain inside a
+    # real decode program (measured: chosen at race time, then 84 GB/s
+    # effective in the decode scan vs 468 GB/s for the Pallas choice).
+    def _qmm_jnp_nohoist(xx, qq):
+        eps = xx.ravel()[0] * 1e-30
+        if qq.sfactor:
+            qq = dataclasses.replace(qq, sd=qq.sd + eps)
+        else:
+            qq = dataclasses.replace(
+                qq, scales=qq.scales + eps.astype(qq.scales.dtype)
+            )
+        return _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
+
     try:
-        dt = _time(
-            lambda xx, qq: _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
-        )
+        dt = _time(_qmm_jnp_nohoist)
         if dt < best_dt:
             best, best_dt = ("xla",), dt
     except Exception:

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def marginal(fn, *args, reps=(16, 64), trials=5):
@@ -53,14 +54,6 @@ def marginal(fn, *args, reps=(16, 64), trials=5):
     return float(np.median(ms))
 
 
-def read_kernel_2d(x_ref, qs_ref, out_ref):
-    j = pl.program_id(1) if len(pl.num_programs_shape()) > 1 else 0  # unused
-    out_ref[:] += (
-        qs_ref[:8, :128].astype(jnp.float32).sum()
-        + x_ref[0, 0]
-    )
-
-
 def main():
     K, N = 4096, 22528  # gateup shape
     qs = jnp.asarray(np.random.randint(0, 255, (K, N), np.uint8))
@@ -74,11 +67,29 @@ def main():
             def _():
                 o_ref[:] = jnp.zeros_like(o_ref)
 
-            o_ref[:] += (
-                q_ref[tuple([0] * (arr.ndim - 2) + [slice(0, 8), slice(0, 128)])]
-                .astype(jnp.float32)
-                + x_ref[0, 0]
-            )
+            # consume EVERY byte of the tile so the compiler cannot narrow
+            # the DMA window: convert each sub-chunk (bounded f32
+            # intermediate, scoped-VMEM safe) and reduce it through the MXU
+            # with ones-matrices (cheap vs the DMA under test)
+            t, tn_ = q_ref.shape[-2], q_ref.shape[-1]
+            step = max(8, min(t, 524288 // tn_))
+            acc = jnp.zeros((8, 128), jnp.float32)
+            lhs = jnp.ones((8, step), jnp.float32)
+            rhs = jnp.ones((tn_, 128), jnp.float32)
+            for r0 in range(0, t, step):
+                blk = q_ref[
+                    tuple(
+                        [0] * (arr.ndim - 2)
+                        + [slice(r0, r0 + step), slice(None)]
+                    )
+                ]
+                v = pltpu.bitcast(blk, jnp.int8).astype(jnp.float32)
+                acc += jnp.dot(
+                    jnp.dot(lhs, v, preferred_element_type=jnp.float32),
+                    rhs,
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[:] += acc + x_ref[0, 0]
 
         f = lambda xx, aa: pl.pallas_call(
             kern,
@@ -95,7 +106,7 @@ def main():
         print(f"{name:28s} {dt*1e6:8.1f} us  {gbs:6.0f} GB/s  ({tile_bytes/1e6:.2f} MB/tile)")
 
     # 1) column tiles, strided (the real kernel's pattern)
-    for tk, tn in ((2048, 1024), (512, 1024), (2048, 2048)):
+    for tk, tn in ((2048, 1024), (512, 1024)):
         nk, nn = K // tk, N // tn
         run_case(
             f"strided col ({tk},{tn})",
@@ -107,8 +118,8 @@ def main():
             tk * tn,
         )
 
-    # 2) full-width tiles, contiguous
-    for tk in (256, 1024):
+    # 2) full-width tiles, contiguous (1024-row tile would blow VMEM)
+    for tk in (256,):
         run_case(
             f"full-width ({tk},{N})",
             qs,
@@ -118,7 +129,7 @@ def main():
         )
 
     # 3) pre-tiled 3-D storage: (nn, K, tn) contiguous column tiles
-    for tk, tn in ((2048, 1024), (2048, 2048)):
+    for tk, tn in ((2048, 1024),):
         nn = N // tn
         q3 = jnp.asarray(
             np.ascontiguousarray(

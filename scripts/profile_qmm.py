@@ -142,7 +142,7 @@ def main():
             (1024, 512, 4, ""),
             (512, 512, 2, ""),
         ]
-        for name in ("w_gateup", "w_down", "lm_head"):
+        for name in ("w_qkv", "w_gateup", "w_down", "lm_head"):
             qt = shapes[name]
             k, n = qt.shape
             x = jnp.zeros((1, k), jnp.float32)
