@@ -368,10 +368,22 @@ def _apply_factors(s, m, sd_ref, sm_ref, off, nf, sfactor, cd):
     for this N-tile (their per-tile row counts can be < 8, below Mosaic's
     block-divisibility floor, so they are sliced dynamically here instead
     of blocked by the grid)."""
-    fs = pl.ds(off, nf)
-    s = s * jnp.repeat(sd_ref[fs, :].astype(cd), sfactor, axis=0)
+    def expand(ref):
+        # Mosaic proves dynamic sublane offsets only for 1-row loads and
+        # 8-aligned multi-row loads; anything else (e.g. a 2-row load at
+        # j*2) fails "index in dimension 0 is a multiple of 8". Load
+        # row-by-row in that case — nf is tiny (<= 8).
+        if nf == 1 or nf % 8 == 0:
+            return jnp.repeat(ref[pl.ds(off, nf), :].astype(cd), sfactor, axis=0)
+        rows = [
+            jnp.repeat(ref[pl.ds(off + f, 1), :].astype(cd), sfactor, axis=0)
+            for f in range(nf)
+        ]
+        return jnp.concatenate(rows, axis=0)
+
+    s = s * expand(sd_ref)
     if m is not None:
-        m = m * jnp.repeat(sm_ref[fs, :].astype(cd), sfactor, axis=0)
+        m = m * expand(sm_ref)
     return s, m
 
 
@@ -578,6 +590,16 @@ def _qmm_pack4_rb_kernel(
     out_ref[:] += acc
 
 
+def _pad_rows(b, pw):
+    """Zero-pad a bias matrix's rows to the lane-padded group count so the
+    sum-fold dot is (mp, pw) @ (pw, tn) with pw a 128-multiple."""
+    if b.shape[0] == pw:
+        return b
+    return jnp.concatenate(
+        [b, jnp.zeros((pw - b.shape[0], b.shape[1]), b.dtype)], axis=0
+    )
+
+
 def _qmm_pack4_s_kernel(
     x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, qs_ref, *rest,
     group, zp, inner, cd=None, has_mins=False, sfactor=0,
@@ -625,15 +647,16 @@ def _qmm_pack4_s_kernel(
     if m_lo is not None:
         b_lo = m_lo if b_lo is None else b_lo + m_lo
         b_hi = m_hi if b_hi is None else b_hi + m_hi
+    pw = xs_lo_ref.shape[1]  # lane-padded group count (see caller)
     acc = None
     if b_lo is not None:
         acc = jnp.dot(
-            xs_lo_ref[...], b_lo.astype(jnp.float32),
+            xs_lo_ref[...], _pad_rows(b_lo.astype(jnp.float32), pw),
             preferred_element_type=jnp.float32,
         )
     if b_hi is not None:
         d = jnp.dot(
-            xs_hi_ref[...], b_hi.astype(jnp.float32),
+            xs_hi_ref[...], _pad_rows(b_hi.astype(jnp.float32), pw),
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
@@ -688,7 +711,8 @@ def _qmm_s_kernel(
     acc = None
     if m is not None:
         acc = jnp.dot(
-            xs_ref[...], m.astype(jnp.float32),
+            xs_ref[...],
+            _pad_rows(m.astype(jnp.float32), xs_ref.shape[1]),
             preferred_element_type=jnp.float32,
         )
     for i in range(inner):
@@ -904,9 +928,20 @@ def _qmm_pallas_tiled(
 
     if mode == "s":
         # sum-fold kernels: per-group activation sums ride along so the
-        # affine bias applies through a small MXU dot (see the kernels)
+        # affine bias applies through a small MXU dot (see the kernels).
+        # Each K-tile's group sums (tk/g of them, as few as 16) are padded
+        # out to a 128-lane multiple per block — Pallas TPU requires
+        # 128-divisible lane dims on block shapes — and the kernel
+        # zero-pads the bias matrix rows to match.
         kreal = x.shape[1]
+        tkg = tk // g
+        pw = _round_up(tkg, LANE)
         xs = x.reshape(mp, kreal // g, g).sum(-1)
+        if pw != tkg:
+            xs = jnp.pad(
+                xs.reshape(mp, kreal // g // tkg, tkg),
+                ((0, 0), (0, 0), (0, pw - tkg)),
+            ).reshape(mp, -1)
 
     if qt.packed:
         kern = {
@@ -926,8 +961,8 @@ def _qmm_pallas_tiled(
         args = [x, x]
         if mode == "s":
             in_specs += [
-                pl.BlockSpec((mp, tk // g), lambda i, j: (0, j)),  # xsum lo
-                pl.BlockSpec((mp, tk // g), lambda i, j: (0, j + nk)),
+                pl.BlockSpec((mp, pw), lambda i, j: (0, j)),  # xsum lo
+                pl.BlockSpec((mp, pw), lambda i, j: (0, j + nk)),
             ]
             args += [xs, xs]
         in_specs += [
@@ -961,7 +996,7 @@ def _qmm_pallas_tiled(
         in_specs = [pl.BlockSpec((mp, tk), lambda i, j: (0, j))]  # x
         args = [x]
         if mode == "s":
-            in_specs.append(pl.BlockSpec((mp, tk // g), lambda i, j: (0, j)))
+            in_specs.append(pl.BlockSpec((mp, pw), lambda i, j: (0, j)))
             args.append(xs)
         in_specs += [
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs
@@ -1014,14 +1049,17 @@ def _pick_tiles(x, qt: QTensor):
         return cands[-1]
     import time
 
-    def _time(make_call):
+    from ..logger import logger
+
+    reps = 32
+
+    def _loop(make_call):
         # time INSIDE a scan: serialized repeats in one dispatch, so
         # host/tunnel dispatch latency (which can reach hundreds of us —
         # or tens of MS in bad hours — and would swamp every candidate
-        # equally) amortizes; the MIN over several dispatches strips the
-        # residual additive noise (overhead is one-sided)
-        reps = 32
-
+        # equally) amortizes. Returns a closure that runs + syncs one
+        # timed dispatch (np.asarray: the tunnel's block_until_ready can
+        # return early; only a host transfer truly syncs).
         def loop(x, qt):
             def body(c, _):
                 o = make_call(x + c * 1e-30, qt)
@@ -1032,28 +1070,35 @@ def _pick_tiles(x, qt: QTensor):
 
         f = jax.jit(loop)
         np.asarray(f(x, qt))  # compile + warm
-        best = float("inf")
-        for _ in range(5):
+
+        def run():
             t0 = time.perf_counter()
             np.asarray(f(x, qt))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            return time.perf_counter() - t0
+
+        return run
 
     # sum-fold candidates only apply where an affine bias exists (mins, or
     # a packed grid's zero-point re-bias)
     if not (qt.packed or qt.mins is not None):
         cands = [c for c in cands if c[3] != "s"]
-    best, best_dt = cands[0], float("inf")
+
+    entries = []  # (choice, run_fn)
     for tk, tn, inner, mode in cands:
         try:
-            dt = _time(
-                lambda xx, qq, _tk=tk, _tn=tn, _i=inner, _m=mode:
-                _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m)
+            entries.append((
+                (tk, tn, inner, mode),
+                _loop(
+                    lambda xx, qq, _tk=tk, _tn=tn, _i=inner, _m=mode:
+                    _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m)
+                ),
+            ))
+        except Exception as e:
+            logger.debug(
+                "qmm autotune: candidate %s failed to compile: %s",
+                (tk, tn, inner, mode), e,
             )
-        except Exception:
-            continue
-        if dt < best_dt:
-            best, best_dt = (tk, tn, inner, mode), dt
+
     # race the XLA-fused bf16 dequant+GEMM as one more candidate: it wins
     # on shapes where XLA keeps the dequant fused into the GEMM loop, and
     # loses catastrophically where the dequantized f32 weights materialize
@@ -1074,13 +1119,60 @@ def _pick_tiles(x, qt: QTensor):
         return _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
 
     try:
-        dt = _time(_qmm_jnp_nohoist)
-        if dt < best_dt:
-            best, best_dt = ("xla",), dt
+        entries.append((("xla",), _loop(_qmm_jnp_nohoist)))
     except Exception:
         pass
+
+    # dense bf16 GEMM of the same logical shape as an absolute-bandwidth
+    # CONTROL: the device/tunnel shows hour-scale slowdowns (contention),
+    # under which race results are garbage — keep them for this process
+    # but don't poison the on-disk cache
+    wd = jnp.zeros((x.shape[1], npad), jnp.bfloat16)
+    try:
+        control_f = _loop(
+            lambda xx, qq, _w=wd: jnp.dot(
+                xx.astype(jnp.bfloat16), _w,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    except Exception:
+        control_f = None
+
+    # interleave trials round-robin so hour-scale drift hits every
+    # candidate equally; keep the MIN per candidate (noise is one-sided)
+    trials = 5
+    bests = {i: float("inf") for i in range(len(entries))}
+    ctrl_best = float("inf")
+    for _ in range(trials):
+        for i, (_, run) in enumerate(entries):
+            try:
+                bests[i] = min(bests[i], run())
+            except Exception:
+                bests[i] = float("inf")
+        if control_f is not None:
+            try:
+                ctrl_best = min(ctrl_best, control_f())
+            except Exception:
+                control_f = None
+
+    best, best_dt = cands[0], float("inf")
+    for i, (choice, _) in enumerate(entries):
+        if bests[i] < best_dt:
+            best, best_dt = choice, bests[i]
+
     _TILE_CACHE[key] = best
-    _save_disk_cache()
+    cal_min = float(os.environ.get("CT_QMM_CAL_MIN", "400")) * 1e9
+    dense_bw = (
+        wd.size * 2 / (ctrl_best / reps) if ctrl_best < float("inf") else 0.0
+    )
+    if control_f is None or dense_bw >= cal_min:
+        _save_disk_cache()
+    else:
+        logger.warning(
+            "qmm autotune: device degraded (dense control %.0f GB/s < "
+            "%.0f GB/s) — tile choice %s kept in-memory only",
+            dense_bw / 1e9, cal_min / 1e9, best,
+        )
     return best
 
 
