@@ -1138,20 +1138,29 @@ def _pick_tiles(x, qt: QTensor):
     except Exception:
         control_f = None
 
-    # interleave trials round-robin so hour-scale drift hits every
-    # candidate equally; keep the MIN per candidate (noise is one-sided)
-    trials = 5
+    # Timing pattern (measured, do not simplify): dispatching a DIFFERENT
+    # compiled program than the previous dispatch costs ~30-45 ms extra
+    # (program switch), which a naive round-robin race charges to every
+    # sample, flattening all candidates to the same reading. Per visit:
+    # one unmeasured warm dispatch absorbs the switch cost, then
+    # consecutive timed dispatches count. Two passes spread hour-scale
+    # drift across candidates; MIN per candidate (noise is one-sided).
+    passes, timed_per_visit = 2, 3
     bests = {i: float("inf") for i in range(len(entries))}
     ctrl_best = float("inf")
-    for _ in range(trials):
+    for _ in range(passes):
         for i, (_, run) in enumerate(entries):
             try:
-                bests[i] = min(bests[i], run())
+                run()  # warm: absorbs the program-switch cost
+                for _ in range(timed_per_visit):
+                    bests[i] = min(bests[i], run())
             except Exception:
                 bests[i] = float("inf")
         if control_f is not None:
             try:
-                ctrl_best = min(ctrl_best, control_f())
+                control_f()
+                for _ in range(timed_per_visit):
+                    ctrl_best = min(ctrl_best, control_f())
             except Exception:
                 control_f = None
 
@@ -1161,7 +1170,10 @@ def _pick_tiles(x, qt: QTensor):
             best, best_dt = choice, bests[i]
 
     _TILE_CACHE[key] = best
-    cal_min = float(os.environ.get("CT_QMM_CAL_MIN", "400")) * 1e9
+    # NB: XLA's bf16 matvec on these wide shapes sustains ~390 GB/s even
+    # when healthy — the gate only catches genuine halvings, so keep the
+    # default well below that
+    cal_min = float(os.environ.get("CT_QMM_CAL_MIN", "200")) * 1e9
     dense_bw = (
         wd.size * 2 / (ctrl_best / reps) if ctrl_best < float("inf") else 0.0
     )

@@ -1,8 +1,12 @@
 """30-second TPU health probe: dense bf16 GEMM bandwidth via scan-timing.
 
 The device/tunnel shows hour-scale slowdowns (contention); kernel perf
-work is only meaningful when this reports near-peak (v5e HBM peak is
-819 GB/s; healthy readings here are ~650-750). Run alone on the TPU.
+work is only meaningful when this reports near this workload's plateau:
+XLA's bf16 (8,4096)x(4096,11264) GEMM sustains ~390 GB/s when healthy
+(NOT the 819 GB/s HBM peak — this m=8 shape doesn't stream faster; the
+earlier 650-750 readings predate the program-switch-overhead discovery
+and came from differently-warmed runs). The gate below catches genuine
+halvings. Run alone on the TPU.
 """
 
 import sys
@@ -40,7 +44,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     bw = wd.size * 2 / (best / reps) / 1e9
     print(f"dense bf16 control: {best/reps*1e6:.1f} us/iter  {bw:.0f} GB/s")
-    print("HEALTHY" if bw >= 500 else "DEGRADED")
+    print("HEALTHY" if bw >= 300 else "DEGRADED")
 
 
 if __name__ == "__main__":

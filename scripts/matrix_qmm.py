@@ -1,13 +1,17 @@
 """Reliably time qmm kernel candidates on real TPU.
 
-Method (the tunnel/device shows hour-scale drift and intermittent
-contention; marginal-difference timing produced negative values):
+Method (the tunnel/device shows hour-scale drift; ALSO: dispatching a
+different compiled program than the previous dispatch costs ~30-45 ms, so
+round-robin timing flattens every candidate to the same reading):
   - each candidate is one jitted 128-rep lax.scan (dispatch overhead
     amortized to <1%)
-  - trials interleave ALL candidates round-robin so drift hits everyone
-  - per candidate keep the MIN across trials (noise is one-sided)
+  - per visit: one UNMEASURED warm dispatch absorbs the program-switch
+    cost, then consecutive timed dispatches count
+  - multiple passes spread drift; per candidate keep the MIN (noise is
+    one-sided)
   - a dense bf16 GEMM of known byte volume runs in the same rotation as
-    an absolute-bandwidth control
+    an absolute-bandwidth control (NB: XLA bf16 matvec on wide shapes
+    only sustains ~390 GB/s even healthy)
 
 Run strictly alone on the TPU (see NOTES_NEXT_ROUND.md).
 """
@@ -24,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 REPS = 128
-TRIALS = 8
+TRIALS = 3
 
 
 def make_loop(fn, *args):
@@ -109,7 +113,8 @@ def main():
         ("nomin", dict(mins=False, factored=False)),
     ]
     picks = [(512, 1024, 2, ""), (1024, 1024, 4, ""), (2048, 1024, 8, ""),
-             (1024, 1024, 4, "r")]
+             (1024, 1024, 4, "r"),
+             (512, 1024, 2, "s"), (1024, 1024, 4, "s"), (2048, 1024, 8, "s")]
     for name, cfg in cases:
         qt = build(**cfg)
         kp = qt.qs.shape[0]
@@ -137,10 +142,12 @@ def main():
     best = {lab: float("inf") for lab, _, _ in entries}
     for t in range(TRIALS):
         for lab, loop, _ in entries:
-            t0 = time.perf_counter()
-            loop()
-            dt = (time.perf_counter() - t0) / REPS
-            best[lab] = min(best[lab], dt)
+            loop()  # warm: absorbs the program-switch cost
+            for _ in range(3):
+                t0 = time.perf_counter()
+                loop()
+                dt = (time.perf_counter() - t0) / REPS
+                best[lab] = min(best[lab], dt)
         print(f"trial {t} done", flush=True)
 
     print()
