@@ -1053,17 +1053,25 @@ def _pick_tiles(x, qt: QTensor):
 
     reps = 32
 
-    def _loop(make_call):
-        # time INSIDE a scan: serialized repeats in one dispatch, so
-        # host/tunnel dispatch latency (which can reach hundreds of us —
-        # or tens of MS in bad hours — and would swamp every candidate
-        # equally) amortizes. Returns a closure that runs + syncs one
-        # timed dispatch (np.asarray: the tunnel's block_until_ready can
-        # return early; only a host transfer truly syncs).
+    def _loop(make_call, nwork=1):
+        # time INSIDE a scan: serialized repeats in one dispatch, so the
+        # flat ~24-30 ms per-dispatch tunnel round-trip (EVERY dispatch
+        # pays it; it can drift to 45+ ms in bad hours) amortizes across
+        # reps and hits every candidate equally — rankings stay valid
+        # even though per-iteration readings carry ~30ms/reps of it.
+        # The chain scalar is a jnp.max REDUCTION: a sliced carry like
+        # o[0,0] lets XLA rewrite the dead full-size dot into a single
+        # column, which made the XLA candidate race at fictional speed
+        # (measured: chosen at race time, then 84 GB/s effective in the
+        # real decode scan vs 468 GB/s for the Pallas choice). Returns a
+        # closure running one synced dispatch (np.asarray: the tunnel's
+        # block_until_ready returns early; only a host transfer syncs).
         def loop(x, qt):
             def body(c, _):
-                o = make_call(x + c * 1e-30, qt)
-                return o[0, 0], ()
+                for _ in range(nwork):
+                    o = make_call(x + c * 1e-30, qt)
+                    c = jnp.max(o.astype(jnp.float32)) * 1e-30 + c
+                return c, ()
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
             return c
@@ -1124,45 +1132,44 @@ def _pick_tiles(x, qt: QTensor):
         pass
 
     # dense bf16 GEMM of the same logical shape as an absolute-bandwidth
-    # CONTROL: the device/tunnel shows hour-scale slowdowns (contention),
-    # under which race results are garbage — keep them for this process
-    # but don't poison the on-disk cache
+    # CONTROL: the device/tunnel shows hour-scale slowdowns, under which
+    # race results are garbage — keep them for this process but don't
+    # poison the on-disk cache. The control's TRUE time comes from the
+    # marginal (1x-vs-4x chained) slope: a single-depth reading would be
+    # dominated by the ~30ms/reps dispatch round-trip share.
     wd = jnp.zeros((x.shape[1], npad), jnp.bfloat16)
+    dense = lambda xx, qq, _w=wd: jnp.dot(  # noqa: E731
+        xx.astype(jnp.bfloat16), _w, preferred_element_type=jnp.float32
+    )
     try:
-        control_f = _loop(
-            lambda xx, qq, _w=wd: jnp.dot(
-                xx.astype(jnp.bfloat16), _w,
-                preferred_element_type=jnp.float32,
-            )
-        )
+        control_fs = (_loop(dense, nwork=1), _loop(dense, nwork=4))
     except Exception:
-        control_f = None
+        control_fs = None
 
-    # Timing pattern (measured, do not simplify): dispatching a DIFFERENT
-    # compiled program than the previous dispatch costs ~30-45 ms extra
-    # (program switch), which a naive round-robin race charges to every
-    # sample, flattening all candidates to the same reading. Per visit:
-    # one unmeasured warm dispatch absorbs the switch cost, then
-    # consecutive timed dispatches count. Two passes spread hour-scale
-    # drift across candidates; MIN per candidate (noise is one-sided).
+    # Per visit: one unmeasured warm dispatch (insurance against any
+    # first-dispatch cost), then consecutive timed dispatches. Two passes
+    # spread hour-scale drift across candidates; MIN per candidate (noise
+    # is one-sided). Candidates share the same reps, so the flat
+    # per-dispatch round-trip cancels in the RANKING.
     passes, timed_per_visit = 2, 3
     bests = {i: float("inf") for i in range(len(entries))}
-    ctrl_best = float("inf")
+    ctrl_best = [float("inf"), float("inf")]
     for _ in range(passes):
         for i, (_, run) in enumerate(entries):
             try:
-                run()  # warm: absorbs the program-switch cost
+                run()  # warm
                 for _ in range(timed_per_visit):
                     bests[i] = min(bests[i], run())
             except Exception:
                 bests[i] = float("inf")
-        if control_f is not None:
+        if control_fs is not None:
             try:
-                control_f()
-                for _ in range(timed_per_visit):
-                    ctrl_best = min(ctrl_best, control_f())
+                for ci, cf in enumerate(control_fs):
+                    cf()
+                    for _ in range(timed_per_visit):
+                        ctrl_best[ci] = min(ctrl_best[ci], cf())
             except Exception:
-                control_f = None
+                control_fs = None
 
     best, best_dt = cands[0], float("inf")
     for i, (choice, _) in enumerate(entries):
@@ -1170,14 +1177,12 @@ def _pick_tiles(x, qt: QTensor):
             best, best_dt = choice, bests[i]
 
     _TILE_CACHE[key] = best
-    # NB: XLA's bf16 matvec on these wide shapes sustains ~390 GB/s even
-    # when healthy — the gate only catches genuine halvings, so keep the
-    # default well below that
-    cal_min = float(os.environ.get("CT_QMM_CAL_MIN", "200")) * 1e9
-    dense_bw = (
-        wd.size * 2 / (ctrl_best / reps) if ctrl_best < float("inf") else 0.0
-    )
-    if control_f is None or dense_bw >= cal_min:
+    cal_min = float(os.environ.get("CT_QMM_CAL_MIN", "300")) * 1e9
+    dense_dt = (ctrl_best[1] - ctrl_best[0]) / 3 / reps  # marginal slope
+    dense_bw = wd.size * 2 / dense_dt if dense_dt > 0 else 0.0
+    if control_fs is None:
+        dense_bw = 0.0
+    if control_fs is None or dense_bw >= cal_min:
         _save_disk_cache()
     else:
         logger.warning(

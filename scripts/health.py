@@ -1,22 +1,21 @@
-"""30-second TPU health probe: dense bf16 GEMM bandwidth via scan-timing.
+"""~1-minute TPU health probe: honest dense bf16 GEMM bandwidth.
 
-The device/tunnel shows hour-scale slowdowns (contention); kernel perf
-work is only meaningful when this reports near this workload's plateau:
-XLA's bf16 (8,4096)x(4096,11264) GEMM sustains ~390 GB/s when healthy
-(NOT the 819 GB/s HBM peak — this m=8 shape doesn't stream faster; the
-earlier 650-750 readings predate the program-switch-overhead discovery
-and came from differently-warmed runs). The gate below catches genuine
-halvings. Run alone on the TPU.
+Uses the marginal (1x-vs-4x chained, max-carry) method from _timing.py:
+earlier versions read a dead-code-sliced dot (fiction) plus the flat
+~24-30 ms per-dispatch tunnel round-trip. Reports the true per-GEMM
+streaming bandwidth AND the round-trip, both of which drift hour-scale.
+Run alone on the TPU (see NOTES_NEXT_ROUND.md).
 """
 
+import os
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
-import jax
 import jax.numpy as jnp
+
+from _timing import marginal
 
 
 def main():
@@ -25,25 +24,19 @@ def main():
         rng.standard_normal((4096, 11264)).astype(np.float32), jnp.bfloat16
     )
     xd = jnp.zeros((8, 4096), jnp.bfloat16)
-    reps = 128
 
-    def loop(xx, ww):
-        def body(c, _):
-            o = jnp.dot(xx + c * 0, ww, preferred_element_type=jnp.float32)
-            return o.ravel()[0], ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-        return c
-
-    f = jax.jit(loop)
-    np.asarray(f(xd, wd))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(f(xd, wd))
-        best = min(best, time.perf_counter() - t0)
-    bw = wd.size * 2 / (best / reps) / 1e9
-    print(f"dense bf16 control: {best/reps*1e6:.1f} us/iter  {bw:.0f} GB/s")
+    dt, t1 = marginal(
+        lambda xx, ww: jnp.dot(xx, ww, preferred_element_type=jnp.float32),
+        xd, wd, reps=64,
+    )
+    bw = wd.size * 2 / dt / 1e9
+    rt = (t1 - dt) * 64
+    print(
+        f"dense bf16 GEMM: {dt*1e6:.1f} us true  {bw:.0f} GB/s   "
+        f"dispatch round-trip {rt*1e3:.1f} ms"
+    )
+    # v5e HBM peak is 819 GB/s; healthy honest readings for this shape
+    # TBD — gate on an obviously-broken device only
     print("HEALTHY" if bw >= 300 else "DEGRADED")
 
 

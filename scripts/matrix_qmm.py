@@ -1,49 +1,28 @@
-"""Reliably time qmm kernel candidates on real TPU.
+"""Honestly time qmm kernel candidates on real TPU.
 
-Method (the tunnel/device shows hour-scale drift; ALSO: dispatching a
-different compiled program than the previous dispatch costs ~30-45 ms, so
-round-robin timing flattens every candidate to the same reading):
-  - each candidate is one jitted 128-rep lax.scan (dispatch overhead
-    amortized to <1%)
-  - per visit: one UNMEASURED warm dispatch absorbs the program-switch
-    cost, then consecutive timed dispatches count
-  - multiple passes spread drift; per candidate keep the MIN (noise is
-    one-sided)
-  - a dense bf16 GEMM of known byte volume runs in the same rotation as
-    an absolute-bandwidth control (NB: XLA bf16 matvec on wide shapes
-    only sustains ~390 GB/s even healthy)
+Method (see scripts/_timing.py for the measurement model): every
+candidate's TRUE per-application time comes from the marginal
+(1x-vs-4x chained, max-carry) slope — single-depth readings carry a
+flat ~30ms/reps dispatch-round-trip share, and slice-carry chains let
+XLA dead-code the dense candidates. A dense bf16 GEMM of known byte
+volume runs in the same rotation as an absolute-bandwidth control.
 
 Run strictly alone on the TPU (see NOTES_NEXT_ROUND.md).
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
-
-import jax
 import jax.numpy as jnp
 
-REPS = 128
+from _timing import make_loop, time_loops
+
+REPS = 64
 TRIALS = 3
-
-
-def make_loop(fn, *args):
-    def run(*a):
-        def body(c, _):
-            o = fn(a[0] + c * 1e-30, *a[1:])
-            return jnp.asarray(o).ravel()[0].astype(jnp.float32), ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
-        return c
-
-    f = jax.jit(run)
-    np.asarray(f(*args))  # compile + warm
-    return lambda: np.asarray(f(*args))  # np.asarray: the tunnel's
-    # block_until_ready returns early; only a host transfer truly syncs
 
 
 def main():
@@ -86,49 +65,41 @@ def main():
         return b
 
     mp = 8
-    entries = []  # (label, loop_fn, bytes)
+    # (label, bytes, {nwork: loop})
+    entries = []
 
-    # absolute-bandwidth control: dense bf16 GEMM, 92.3 MB of weights
     wd = jnp.asarray(
         (rng.standard_normal((K, N)) * 0.01).astype(np.float32), jnp.bfloat16
     )
     xd = jnp.zeros((mp, K), jnp.bfloat16)
-    entries.append(
-        (
-            "CONTROL dense bf16",
-            make_loop(
-                lambda xx, ww: jnp.dot(
-                    xx, ww, preferred_element_type=jnp.float32
-                ),
-                xd,
-                wd,
-            ),
-            wd.size * 2,
-        )
+    dense = lambda xx, ww: jnp.dot(  # noqa: E731
+        xx, ww, preferred_element_type=jnp.float32
     )
+    entries.append((
+        "CONTROL dense bf16",
+        wd.size * 2,
+        {n: make_loop(dense, xd, wd, reps=REPS, nwork=n) for n in (1, 4)},
+    ))
 
     cases = [
         ("full", dict(mins=True, factored=True)),
         ("nofac", dict(mins=True, factored=False)),
         ("nomin", dict(mins=False, factored=False)),
     ]
-    picks = [(512, 1024, 2, ""), (1024, 1024, 4, ""), (2048, 1024, 8, ""),
-             (1024, 1024, 4, "r"),
-             (512, 1024, 2, "s"), (1024, 1024, 4, "s"), (2048, 1024, 8, "s")]
+    picks = [(512, 1024, 2, ""), (2048, 1024, 8, "s"), (1024, 1024, 4, "r")]
     for name, cfg in cases:
         qt = build(**cfg)
         kp = qt.qs.shape[0]
         x = jnp.zeros((mp, kp * 2), jnp.float32)
         by = qt_bytes(qt)
         for tk, tn, inner, mode in picks:
+            fn = lambda xx, qq, a=(tk, tn, inner, mode): qm._qmm_pallas_tiled(
+                xx, qq, a[0], a[1], a[2], mode=a[3]
+            )
             try:
-                loop = make_loop(
-                    lambda xx, qq, a=(tk, tn, inner, mode): qm._qmm_pallas_tiled(
-                        xx, qq, a[0], a[1], a[2], mode=a[3]
-                    ),
-                    x,
-                    qt,
-                )
+                loops = {
+                    n: make_loop(fn, x, qt, reps=REPS, nwork=n) for n in (1, 4)
+                }
             except Exception as e:
                 print(
                     f"{name:6s} ({tk},{tn},{inner},{mode!r}) COMPILE FAILED: "
@@ -136,24 +107,39 @@ def main():
                     flush=True,
                 )
                 continue
-            entries.append((f"{name:6s} ({tk:4d},{tn},{inner},{mode or '-'})", loop, by))
+            entries.append(
+                (f"{name:6s} ({tk:4d},{tn},{inner},{mode or '-'})", by, loops)
+            )
+        # the XLA-fused dequant+bf16 GEMM as one more candidate
+        xla = lambda xx, qq=qt: qm._qmm_jnp(  # noqa: E731
+            xx, qq, compute_dtype=jnp.bfloat16
+        )
+        try:
+            entries.append((
+                f"{name:6s} XLA-fused bf16",
+                by,
+                {n: make_loop(xla, x, qt, reps=REPS, nwork=n) for n in (1, 4)},
+            ))
+        except Exception as e:
+            print(f"{name:6s} XLA COMPILE FAILED: {str(e)[:100]}", flush=True)
         print(f"built {name}", flush=True)
 
-    best = {lab: float("inf") for lab, _, _ in entries}
-    for t in range(TRIALS):
-        for lab, loop, _ in entries:
-            loop()  # warm: absorbs the program-switch cost
-            for _ in range(3):
-                t0 = time.perf_counter()
-                loop()
-                dt = (time.perf_counter() - t0) / REPS
-                best[lab] = min(best[lab], dt)
-        print(f"trial {t} done", flush=True)
+    flat = [
+        ((lab, n), loop)
+        for lab, _, loops in entries
+        for n, loop in loops.items()
+    ]
+    best = time_loops(flat, trials=TRIALS, timed=3, reps=REPS)
 
     print()
-    for lab, _, by in entries:
-        dt = best[lab]
-        print(f"{lab:28s} {dt*1e6:8.1f} us  {by/dt/1e9:6.0f} GB/s", flush=True)
+    for lab, by, _ in entries:
+        t1, t4 = best[(lab, 1)], best[(lab, 4)]
+        kern = (t4 - t1) / 3
+        print(
+            f"{lab:28s} true={kern*1e6:7.1f} us  {by/kern/1e9:6.0f} GB/s  "
+            f"(1x={t1*1e6:7.1f} 4x={t4*1e6:7.1f})",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -98,6 +98,35 @@ def main():
     probe("batched per-group dot, i8 w cast in-kernel", k_batched_i8,
           jax.ShapeDtypeStruct((ng, M, N), jnp.float32), xg, wgi)
 
+    # bf16 MXU dots: v5e rejected a bf16 LHS against f32 RHS before
+    # ("Bad lhs type") — check BOTH-operands-bf16 (8x the f32 MXU rate
+    # if it lowers; the dequant chain still runs f32 on the VPU)
+    xb = xf.astype(jnp.bfloat16)
+    wb = wi8.astype(jnp.bfloat16)
+
+    def k_bf16(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    probe("bf16 x bf16 -> f32 dot", k_bf16,
+          jax.ShapeDtypeStruct((M, N), jnp.float32), xb, wb)
+
+    def k_bf16_cast(x_ref, w_ref, o_ref):
+        # f32 refs, cast to bf16 right at the dot (the kernels would do
+        # this: dequant in f32, feed the MXU in bf16)
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16),
+            w_ref[:].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    probe("f32-cast-to-bf16 dot", k_bf16_cast,
+          jax.ShapeDtypeStruct((M, N), jnp.float32), xf,
+          wi8.astype(jnp.float32))
+
     # epilogue: partials (ng, M, N) * s (ng, N) -> sum over g -> (M, N)
     parts = jnp.asarray(rng.random((ng, M, N), np.float32))
 
