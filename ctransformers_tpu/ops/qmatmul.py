@@ -352,6 +352,21 @@ def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndar
 # -- Pallas kernel -------------------------------------------------------------
 
 
+def _dot_prec(dd):
+    """Explicit dot precision for kernels: with the engine's global
+    jax_default_matmul_precision="highest", a bf16-operand tpu.matmul
+    would inherit contract_precision<fp32>, which crashes the Mosaic
+    backend on v5e — pin DEFAULT for bf16 dots. f32 dots keep HIGHEST
+    (exact parity with the reference f32 path)."""
+    import jax
+
+    return (
+        jax.lax.Precision.DEFAULT
+        if dd == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def _group_planes(refs, i, ck, group, cd, has_mins):
     """Shared per-chunk scale/min group-plane loader for the int8-grid and
     packed kernels: slices chunk `i`'s rows from the (scale, [min]) refs."""
@@ -388,7 +403,8 @@ def _apply_factors(s, m, sd_ref, sm_ref, off, nf, sfactor, cd):
 
 
 def _qmm_kernel(
-    x_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False, sfactor=0
+    x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
+    has_mins=False, sfactor=0,
 ):
     """One (M, TN) output tile; grid is (nn, nk) with K innermost.
 
@@ -411,6 +427,7 @@ def _qmm_kernel(
     tk = qs_ref.shape[0]
     ck = tk // inner
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     acc = None
     for i in range(inner):
         qs = qs_ref[i * ck : (i + 1) * ck, :].astype(cd)
@@ -426,8 +443,9 @@ def _qmm_kernel(
         if m is not None:
             w = w + jnp.repeat(m, group, axis=0)
         d = jnp.dot(
-            x_ref[:, i * ck : (i + 1) * ck], w.astype(jnp.float32),
+            x_ref[:, i * ck : (i + 1) * ck].astype(dd), w.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
@@ -435,7 +453,7 @@ def _qmm_kernel(
 
 def _qmm_pack4_kernel(
     x_lo_ref, x_hi_ref, qs_ref, *rest, group, zp, inner,
-    cd=None, has_mins=False, sfactor=0,
+    cd=None, dd=None, has_mins=False, sfactor=0,
 ):
     """Packed-4-bit tile: one uint8 byte carries rows k (low nibble) and
     k + K_pad/2 (high nibble, stored SIGN-BIASED by make_qtensor so the
@@ -469,6 +487,7 @@ def _qmm_pack4_kernel(
     tk = qs_ref.shape[0]
     ck = tk // inner
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
@@ -502,17 +521,20 @@ def _qmm_pack4_kernel(
         w_hi = f * jnp.repeat(s_hi, group, axis=0)
         if b_hi is not None:
             w_hi = w_hi + jnp.repeat(b_hi, group, axis=0)
-        # Mosaic rejects bf16 lhs dots here ("Bad lhs type"); the VPU win
-        # comes from the bf16 dequant chain, so convert w back for the MXU
+        # dd=bf16 runs the MXU dot with BOTH operands bf16 (lowers on
+        # v5e; only MIXED bf16/f32 operand dots are rejected) at ~4x the
+        # f32 MXU rate — raced as the "b" mode suffix
         d = jnp.dot(
-            x_lo_ref[:, ks],
-            w_lo.astype(jnp.float32),
+            x_lo_ref[:, ks].astype(dd),
+            w_lo.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         d += jnp.dot(
-            x_hi_ref[:, ks],
-            w_hi.astype(jnp.float32),
+            x_hi_ref[:, ks].astype(dd),
+            w_hi.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
@@ -520,7 +542,7 @@ def _qmm_pack4_kernel(
 
 def _qmm_pack4_rb_kernel(
     x_lo_ref, x_hi_ref, qs_ref, *rest, group, zp, inner,
-    cd=None, has_mins=False, sfactor=0,
+    cd=None, dd=None, has_mins=False, sfactor=0,
 ):
     """Packed-4-bit RESHAPE-BROADCAST variant of _qmm_pack4_kernel (same
     single-floor sign-biased unpack and folded affine planes): the
@@ -545,6 +567,7 @@ def _qmm_pack4_rb_kernel(
     ck = tk // inner
     ng = ck // group
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
@@ -577,14 +600,16 @@ def _qmm_pack4_rb_kernel(
         if b_hi is not None:
             w_hi = w_hi + b_hi[:, None, :]
         d = jnp.dot(
-            x_lo_ref[:, ks],
-            w_lo.reshape(ck, tn).astype(jnp.float32),
+            x_lo_ref[:, ks].astype(dd),
+            w_lo.reshape(ck, tn).astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         d += jnp.dot(
-            x_hi_ref[:, ks],
-            w_hi.reshape(ck, tn).astype(jnp.float32),
+            x_hi_ref[:, ks].astype(dd),
+            w_hi.reshape(ck, tn).astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
@@ -602,7 +627,7 @@ def _pad_rows(b, pw):
 
 def _qmm_pack4_s_kernel(
     x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, qs_ref, *rest,
-    group, zp, inner, cd=None, has_mins=False, sfactor=0,
+    group, zp, inner, cd=None, dd=None, has_mins=False, sfactor=0,
 ):
     """Packed-4-bit SUM-FOLD variant: the per-group affine bias B
     (zero-points + mins, see _qmm_pack4_kernel) satisfies
@@ -628,6 +653,7 @@ def _qmm_pack4_s_kernel(
     ck = tk // inner
     tkg = tk // group
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     s_lo = lo_refs[0][...].astype(cd)
     s_hi = hi_refs[0][...].astype(cd)
     m_lo = lo_refs[1][...].astype(cd) if has_mins else None
@@ -669,20 +695,22 @@ def _qmm_pack4_s_kernel(
         w_lo = l * jnp.repeat(s_lo[gs], group, axis=0)
         w_hi = f * jnp.repeat(s_hi[gs], group, axis=0)
         d = jnp.dot(
-            x_lo_ref[:, ks], w_lo.astype(jnp.float32),
+            x_lo_ref[:, ks].astype(dd), w_lo.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         d += jnp.dot(
-            x_hi_ref[:, ks], w_hi.astype(jnp.float32),
+            x_hi_ref[:, ks].astype(dd), w_hi.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
 
 
 def _qmm_s_kernel(
-    x_ref, xs_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False,
-    sfactor=0,
+    x_ref, xs_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
+    has_mins=False, sfactor=0,
 ):
     """int8-grid SUM-FOLD variant (see _qmm_pack4_s_kernel): mins applied
     via xsum @ M on the MXU; only raced for formats that have mins."""
@@ -700,6 +728,7 @@ def _qmm_s_kernel(
     ck = tk // inner
     tkg = tk // group
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     s = refs[0][...].astype(cd)
     m = refs[1][...].astype(cd) if has_mins else None
     if sfactor:
@@ -721,15 +750,17 @@ def _qmm_s_kernel(
         qs = qs_ref[ks, :].astype(cd)
         w = qs * jnp.repeat(s[gs], group, axis=0)
         d = jnp.dot(
-            x_ref[:, ks], w.astype(jnp.float32),
+            x_ref[:, ks].astype(dd), w.astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
 
 
 def _qmm_rb_kernel(
-    x_ref, qs_ref, *rest, group, inner, cd=None, has_mins=False, sfactor=0
+    x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
+    has_mins=False, sfactor=0,
 ):
     """int8-grid RESHAPE-BROADCAST variant of _qmm_kernel (same race
     rationale as _qmm_pack4_rb_kernel)."""
@@ -747,6 +778,7 @@ def _qmm_rb_kernel(
     ck = tk // inner
     ng = ck // group
     cd = cd or jnp.float32
+    dd = dd or jnp.float32
     acc = None
     for i in range(inner):
         ks = slice(i * ck, (i + 1) * ck)
@@ -763,8 +795,9 @@ def _qmm_rb_kernel(
         if m is not None:
             w = w + m[:, None, :]
         d = jnp.dot(
-            x_ref[:, ks], w.reshape(ck, tn).astype(jnp.float32),
+            x_ref[:, ks].astype(dd), w.reshape(ck, tn).astype(dd),
             preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
         )
         acc = d if acc is None else acc + d
     out_ref[:] += acc
@@ -796,26 +829,26 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
     "r" races the reshape-broadcast dequant against the jnp.repeat form.
     The candidate list is kept small: each compile costs ~10s through a
     remote-compile tunnel."""
+    # Honest-timing measurements (matrix_qmm 2026-08-17) showed all
+    # tile/inner/plane variants within 2% — the kernels are VPU-dequant
+    # bound — so the list is pruned to a few tile shapes and focuses on
+    # the MODE axis: '' vs sum-fold 's' vs bf16-MXU-dot suffix 'b'.
     caps = (
         (
             (512, 1024, 2, ""),
             (1024, 1024, 4, ""),
-            (2048, 1024, 8, ""),
-            (256, 1024, 1, ""),
-            (512, 1024, 2, "r"),
-            (1024, 1024, 4, "r"),
-            (512, 1024, 2, "s"),
-            (1024, 1024, 4, "s"),
             (2048, 1024, 8, "s"),
+            (1024, 1024, 4, "b"),
+            (512, 1024, 2, "sb"),
+            (2048, 1024, 8, "sb"),
         )
         if packed
         else (
             (1024, 1024, 1, ""),
             (2048, 1024, 2, ""),
-            (4096, 1024, 4, ""),
-            (2048, 1024, 2, "r"),
-            (2048, 1024, 2, "s"),
             (4096, 1024, 4, "s"),
+            (2048, 1024, 2, "b"),
+            (4096, 1024, 4, "sb"),
         )
     )
     cands = []
@@ -925,6 +958,11 @@ def _qmm_pallas_tiled(
             if os.environ.get("CT_QMM_CD") == "bf16"
             else jnp.float32
         )
+    # mode suffix "b": run the MXU dots with BOTH operands bf16 (~4x the
+    # f32 MXU rate; mixed-operand dots are what v5e rejects). f32 dequant
+    # chain unchanged; accumulation stays f32.
+    dd = jnp.bfloat16 if mode.endswith("b") else None
+    mode = mode[:-1] if mode.endswith("b") else mode
 
     if mode == "s":
         # sum-fold kernels: per-group activation sums ride along so the
@@ -949,7 +987,7 @@ def _qmm_pallas_tiled(
             "s": _qmm_pack4_s_kernel,
         }.get(mode, _qmm_pack4_kernel)
         kernel = functools.partial(
-            kern, group=g, zp=qt.zp, inner=inner, cd=cd,
+            kern, group=g, zp=qt.zp, inner=inner, cd=cd, dd=dd,
             has_mins=has_mins, sfactor=sf,
         )
         lo = pl.BlockSpec((tk // g, tn), lambda i, j: (j, i))
@@ -990,7 +1028,8 @@ def _qmm_pallas_tiled(
     else:
         kern = {"r": _qmm_rb_kernel, "s": _qmm_s_kernel}.get(mode, _qmm_kernel)
         kernel = functools.partial(
-            kern, group=g, inner=inner, cd=cd, has_mins=has_mins, sfactor=sf
+            kern, group=g, inner=inner, cd=cd, dd=dd,
+            has_mins=has_mins, sfactor=sf,
         )
         gspec = pl.BlockSpec((tk // g, tn), lambda i, j: (j, i))
         in_specs = [pl.BlockSpec((mp, tk), lambda i, j: (0, j))]  # x
@@ -1089,7 +1128,7 @@ def _pick_tiles(x, qt: QTensor):
     # sum-fold candidates only apply where an affine bias exists (mins, or
     # a packed grid's zero-point re-bias)
     if not (qt.packed or qt.mins is not None):
-        cands = [c for c in cands if c[3] != "s"]
+        cands = [c for c in cands if "s" not in c[3]]
 
     entries = []  # (choice, run_fn)
     for tk, tn, inner, mode in cands:

@@ -86,7 +86,9 @@ def main():
         ("nofac", dict(mins=True, factored=False)),
         ("nomin", dict(mins=False, factored=False)),
     ]
-    picks = [(512, 1024, 2, ""), (2048, 1024, 8, "s"), (1024, 1024, 4, "r")]
+    picks = [(512, 1024, 2, ""), (2048, 1024, 8, "s"),
+             (1024, 1024, 4, "b"), (2048, 1024, 8, "sb"),
+             (512, 1024, 2, "sb")]
     for name, cfg in cases:
         qt = build(**cfg)
         kp = qt.qs.shape[0]
