@@ -366,7 +366,6 @@ def _attention_batched(
     angles: Optional[jnp.ndarray],  # (B, T, dh//2) per-slot rope angles
     active: jnp.ndarray,  # (B,) bool — inactive slots don't write KV
     window: Optional[int] = None,  # static live-context bound
-    defer: bool = False,  # static: defer the cache write to the caller (t==1)
 ):
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
@@ -401,66 +400,15 @@ def _attention_batched(
         q = _rope_n_b(q, angles, spec.n_rot)
         k = _rope_n_b(k, angles, spec.n_rot)
 
-    if defer:
-        # DEFERRED cache write (decode, t == 1): attention reads the stale
-        # cache (strict mask — this token's slot is not written yet) plus
-        # an explicit self term; the caller writes ALL layers' k/v with one
-        # scatter after the layer loop (64 per-layer scatters measured
-        # ~3.3 ms/step at B=8).
-        kf, vf = kv.k[il], kv.v[il]
-        if window is not None and window < kf.shape[1]:
-            kf = kf[:, :window]
-            vf = vf[:, :window]
-        s = kf.shape[1]
-        k_self, v_self = k, v
-        if hkv != h:
-            rep = h // hkv
-            kf = jnp.repeat(kf, rep, axis=2)
-            vf = jnp.repeat(vf, rep, axis=2)
-            k_self = jnp.repeat(k_self, rep, axis=2)
-            v_self = jnp.repeat(v_self, rep, axis=2)
-
-        scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-        scores = jnp.einsum(
-            "bthd,bshd->bhts", q.astype(kf.dtype), kf,
-            preferred_element_type=jnp.float32,
-        ) * scale  # (B, H, 1, S)
-        qpos = n_past  # (B,) — t == 1
-        if spec.alibi_bias_max > 0:
-            from ..ops.alibi import alibi_slopes
-
-            slopes = jnp.asarray(alibi_slopes(h, spec.alibi_bias_max))
-            kpos_f = jnp.arange(s, dtype=jnp.float32)
-            scores = scores + slopes[None, :, None, None] * kpos_f[None, None, None, :]
-            self_bias = slopes[None, :] * qpos.astype(jnp.float32)[:, None]  # (B, H)
-        mask = jnp.arange(s)[None, :] < qpos[:, None]  # (B, S), strict
-        scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
-
-        self_score = (
-            (q.astype(jnp.float32) * k_self.astype(jnp.float32)).sum(-1)
-            * scale
-        ).transpose(0, 2, 1)[:, :, :, None]  # (B, H, 1, 1)
-        if spec.alibi_bias_max > 0:
-            self_score = self_score + self_bias[:, :, None, None]
-        all_scores = jnp.concatenate([scores, self_score], axis=-1)
-        probs = jax.nn.softmax(all_scores, axis=-1)
-        ctx = jnp.einsum(
-            "bhts,bshd->bthd", probs[..., :s].astype(vf.dtype), vf,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32)
-        ctx = ctx + probs[..., s:].transpose(0, 2, 1, 3) * v_self.astype(
-            jnp.float32
-        )
-        ctx = ctx.reshape(b, t, h * dh)
-        out = mm(ctx, layer["wo"])
-        if layer.get("bo") is not None:
-            out = out + layer["bo"]
-        return out, (k, v)
-
     # per-slot cache write as an in-place scatter on the donated FULL
     # (L, B, S, Hkv, dh) buffer — never rebuild the cache with jnp.stack
     # (a per-step O(cache) copy, ~4 GB at B=8 for llama-7B). Inactive
     # slots scatter to out-of-bounds positions and are dropped.
+    # NB: a "deferred write" variant (stale-cache attention + self term +
+    # one stacked scatter after the layer loop) measured 7 ms/step SLOWER
+    # at B=8 — the per-layer scatter is ~8.7 us (scripts/probe_kv_write),
+    # so 64 of them are noise while the defer plumbing (concat softmax,
+    # L-way stack) was real work. Removed 2026-08-17.
     bidx = jnp.arange(b)[:, None]  # (B, 1)
     wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
     wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
@@ -564,18 +512,11 @@ def forward_batched(
         )
         angles = flat.reshape(b, t, -1)
 
-    defer = t == 1  # decode: batch all layers' cache writes into 1 scatter
-    new_kv = []
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, kv_out = _attention_batched(
+        attn_out, kv = _attention_batched(
             spec, layer, ln1, n_past, kv, il, angles, active, attn_window,
-            defer,
         )
-        if defer:
-            new_kv.append(kv_out)
-        else:
-            kv = kv_out
         if spec.parallel_residual:
             if spec.shared_parallel_ln or "ln2_g" not in layer:
                 mlp_in = ln1
@@ -592,18 +533,6 @@ def forward_batched(
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + ff
-
-    if defer:
-        # one scatter for ALL layers' deferred k/v (values are tiny:
-        # (L, B, 1, Hkv, dh)); inactive slots drop via OOB positions
-        bidx = jnp.arange(b)[:, None]
-        wpos = jnp.where(active[:, None], positions, spec.n_ctx)  # (B, 1)
-        k_all = jnp.stack([k.astype(kv.k.dtype) for k, _ in new_kv])
-        v_all = jnp.stack([v.astype(kv.v.dtype) for _, v in new_kv])
-        kv = KVCache(
-            kv.k.at[:, bidx, wpos].set(k_all, mode="drop"),
-            kv.v.at[:, bidx, wpos].set(v_all, mode="drop"),
-        )
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))

@@ -116,10 +116,29 @@ def test_qmm_kernel_variants_match(kind):
                 jnp.asarray(xp), qt, tk, tn, inner, interpret=True, mode=mode
             )
         )[:m, :n]
-        np.testing.assert_allclose(
-            got, ref, atol=2e-4, rtol=2e-4,
-            err_msg=f"{kind} tile ({tk},{tn},{inner},{mode!r})",
-        )
+        tag = f"{kind} tile ({tk},{tn},{inner},{mode!r})"
+        if "b" in mode:
+            # b/sb modes round operands to bf16 for the MXU dot (same
+            # error class as the XLA bf16 GEMM path). Rounding noise is
+            # proportional to the OUTPUT SCALE (sum_i |q_i x_i| * eps over
+            # a K=512 dot), not to each element — near-zero outputs carry
+            # the same absolute noise as large ones, so judge against the
+            # output scale, not elementwise rtol.
+            # expected error class: both operands rounded -> ~2*eps_bf16
+            # = 0.8% relative, independent of K; 2% bound leaves room for
+            # unlucky draws while still catching structural bugs (a wrong
+            # bias fold shows up as 10-100%).
+            scale = np.abs(ref).max()
+            fro = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            assert fro < 0.02, f"{tag}: frobenius rel err {fro:.4f}"
+            amax = np.abs(got - ref).max()
+            assert amax < 0.03 * scale, (
+                f"{tag}: max abs err {amax:.4f} vs scale {scale:.4f}"
+            )
+        else:
+            np.testing.assert_allclose(
+                got, ref, atol=2e-4, rtol=2e-4, err_msg=tag,
+            )
 
 
 def test_qtensor_is_pytree():
