@@ -62,6 +62,21 @@ def main():
     t4 = time.time()
     print(f"# decode compile+first {t4-t3:.1f}s", file=sys.stderr)
 
+    # warm TTFT (BASELINE.md tracks p50 TTFT per config): re-prefill the
+    # same prompt through the warm chunk programs
+    ttfts = []
+    for _ in range(3):
+        engine.reset()
+        t0 = time.time()
+        engine.eval(rng_tokens)
+        ttfts.append(time.time() - t0)
+    ttft = sorted(ttfts)[1]
+    print(
+        f"# ttft p50 {ttft*1e3:.0f} ms ({prompt_len} tokens, "
+        f"{prompt_len/ttft:.0f} tok/s prefill)",
+        file=sys.stderr,
+    )
+
     # rewind so the timed run repeats the SAME (n, attention-window)
     # program — without this the second call crosses into the next
     # round_window bucket and the timer measures a recompile

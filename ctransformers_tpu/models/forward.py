@@ -37,6 +37,26 @@ from .spec import ArchSpec
 Params = Dict[str, Any]
 
 
+def _ablate() -> frozenset:
+    """Profiling-only component ablation for the batched step, read at
+    TRACE time from CT_ABLATE (comma set). Production default is empty =
+    exact forward. Used by scripts/profile_batched.py to attribute the
+    per-step cost: each flag stubs one component while keeping the rest
+    of the program (and its XLA schedule) intact.
+
+      kvwrite  skip the per-layer cache scatter
+      attnmath skip KV streaming + score/softmax/ctx (ctx := q)
+      qkvo     skip the whole attention block (attn_out := ln1)
+      mlp      skip the FFN matmuls (ff := mlp_in)
+      head     skip the lm_head matmul
+    """
+    import os
+
+    return frozenset(
+        p for p in os.environ.get("CT_ABLATE", "").split(",") if p
+    )
+
+
 class KVCache(NamedTuple):
     """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh)."""
 
@@ -114,17 +134,25 @@ def _attention(
         q = apply_rope_neox(q, angles, spec.n_rot)
         k = apply_rope_neox(k, angles, spec.n_rot)
 
+    ablate = _ablate()
     # append to the FULL stacked cache at (layer, n_past): an in-place
     # dynamic_update_slice on the donated (L, B, S, H, dh) buffer — never
     # rebuild the cache with jnp.stack (a per-token O(cache) copy)
-    kv = KVCache(
-        jax.lax.dynamic_update_slice(
-            kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
-        ),
-        jax.lax.dynamic_update_slice(
-            kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
-        ),
-    )
+    if "kvwrite" not in ablate:
+        kv = KVCache(
+            jax.lax.dynamic_update_slice(
+                kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
+            ),
+            jax.lax.dynamic_update_slice(
+                kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
+            ),
+        )
+    if "attnmath" in ablate:
+        ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
+        out = mm(ctx, layer["wo"])
+        if layer.get("bo") is not None:
+            out = out + layer["bo"]
+        return out, kv
     k_cache = kv.k[il]
     v_cache = kv.v[il]
     chunked = _use_chunked_attention(spec, t)
@@ -314,11 +342,15 @@ def forward(
             spec.rope_base, spec.rope_scale,
         )
 
+    ablate = _ablate()
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, kv = _attention(
-            spec, layer, ln1, n_past, kv, il, angles, attn_window
-        )
+        if "qkvo" in ablate:
+            attn_out = ln1
+        else:
+            attn_out, kv = _attention(
+                spec, layer, ln1, n_past, kv, il, angles, attn_window
+            )
 
         if spec.parallel_residual:
             # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
@@ -326,14 +358,18 @@ def forward(
                 mlp_in = ln1
             else:
                 mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, mlp_in), layer["w_down"])
+            ff = mlp_in if "mlp" in ablate else mm(
+                _act(spec, layer, mlp_in), layer["w_down"]
+            )
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + attn_out + ff
         else:
             x = x + attn_out
             ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, ln2), layer["w_down"])
+            ff = ln2 if "mlp" in ablate else mm(
+                _act(spec, layer, ln2), layer["w_down"]
+            )
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + ff
@@ -342,10 +378,13 @@ def forward(
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
 
     last = x[:, -1, :]  # (B, D)
-    head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
-    logits = mm(x if all_logits else last, head)
-    if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
-        logits = logits + params["lm_head_b"]
+    if "head" in ablate:
+        logits = jnp.broadcast_to(last[:, :1], (b, spec.n_vocab))
+    else:
+        head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+        logits = mm(x if all_logits else last, head)
+        if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
+            logits = logits + params["lm_head_b"]
     return logits, last, kv
 
 
@@ -409,13 +448,22 @@ def _attention_batched(
     # at B=8 — the per-layer scatter is ~8.7 us (scripts/probe_kv_write),
     # so 64 of them are noise while the defer plumbing (concat softmax,
     # L-way stack) was real work. Removed 2026-08-17.
-    bidx = jnp.arange(b)[:, None]  # (B, 1)
-    wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
-    wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
-    kv = KVCache(
-        kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
-        kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
-    )
+    ablate = _ablate()
+    if "kvwrite" not in ablate:
+        bidx = jnp.arange(b)[:, None]  # (B, 1)
+        wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
+        wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
+        kv = KVCache(
+            kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
+            kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
+        )
+
+    if "attnmath" in ablate:
+        ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
+        out = mm(ctx, layer["wo"])
+        if layer.get("bo") is not None:
+            out = out + layer["bo"]
+        return out, kv
 
     kf, vf = kv.k[il], kv.v[il]
     if window is not None and window < kf.shape[1]:
@@ -512,24 +560,33 @@ def forward_batched(
         )
         angles = flat.reshape(b, t, -1)
 
+    ablate = _ablate()
     for il, layer in enumerate(params["layers"]):
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        attn_out, kv = _attention_batched(
-            spec, layer, ln1, n_past, kv, il, angles, active, attn_window,
-        )
+        if "qkvo" in ablate:
+            attn_out = ln1
+        else:
+            attn_out, kv = _attention_batched(
+                spec, layer, ln1, n_past, kv, il, angles, active,
+                attn_window,
+            )
         if spec.parallel_residual:
             if spec.shared_parallel_ln or "ln2_g" not in layer:
                 mlp_in = ln1
             else:
                 mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, mlp_in), layer["w_down"])
+            ff = mlp_in if "mlp" in ablate else mm(
+                _act(spec, layer, mlp_in), layer["w_down"]
+            )
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + attn_out + ff
         else:
             x = x + attn_out
             ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, ln2), layer["w_down"])
+            ff = ln2 if "mlp" in ablate else mm(
+                _act(spec, layer, ln2), layer["w_down"]
+            )
             if layer.get("b_down") is not None:
                 ff = ff + layer["b_down"]
             x = x + ff
@@ -537,8 +594,11 @@ def forward_batched(
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
     last = x[:, -1, :]
-    head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
-    logits = mm(last, head)
-    if params.get("lm_head_b") is not None:
-        logits = logits + params["lm_head_b"]
+    if "head" in ablate:
+        logits = jnp.broadcast_to(last[:, :1], (b, spec.n_vocab))
+    else:
+        head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+        logits = mm(last, head)
+        if params.get("lm_head_b") is not None:
+            logits = logits + params["lm_head_b"]
     return logits, last, kv
