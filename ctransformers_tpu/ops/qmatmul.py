@@ -59,7 +59,7 @@ class QTensor:
     zero-point `zp` (packed=True); others as int8 (K_pad, N_pad).
     """
 
-    qs: jnp.ndarray  # int8 (K_pad, N_pad) | packed uint8 (K_pad/2, N_pad)
+    qs: jnp.ndarray  # int8 (K_pad, N_pad) | packed uint8/int8 (K_pad/2, N_pad)
     # scale planes: f32 per-group products, OR (sfactor > 0, k-quants) int8
     # SUB-scale grids factored against the f32 superblock planes sd/sm so
     # only ~1 byte per group streams from HBM (see quants.decompose_factors)
@@ -79,6 +79,16 @@ class QTensor:
     sd: Optional[jnp.ndarray] = None
     sm: Optional[jnp.ndarray] = None
     sfactor: int = 0  # groups per superblock (0 = unfactored f32 planes)
+    # packed-nibble byte layout:
+    #   "ksplit" — byte row r holds logical rows r (low nibble, biased by
+    #              zp) and r + K_pad/2 (high nibble, sign-biased); unpacked
+    #              by the floor-chain kernels.
+    #   "adjk"   — byte row r holds ADJACENT logical rows 2r (low) and
+    #              2r+1 (high), both stored as two's-complement (nib - 8)
+    #              in [-8, 7]; unpacked by ONE pltpu.bitcast(int4) whose
+    #              axis -2 doubling yields natural (K, N) row order
+    #              (scripts/probe_int4.py), for the "i" kernel modes.
+    pack_layout: str = "ksplit"
 
     def tree_flatten(self):
         return (self.qs, self.scales, self.mins, self.perm, self.sd, self.sm), (
@@ -89,15 +99,17 @@ class QTensor:
             self.zp,
             self.splits,
             self.sfactor,
+            self.pack_layout,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins, perm, sd, sm = children
-        kind, group, shape, packed, zp, splits, sfactor = aux
+        kind, group, shape, packed, zp, splits, sfactor, layout = aux
         return cls(
             qs, scales, mins, kind, group, shape, packed, zp,
             perm=perm, splits=splits, sd=sd, sm=sm, sfactor=sfactor,
+            pack_layout=layout,
         )
 
     @property
@@ -113,6 +125,62 @@ class QTensor:
         return self.shape[1]
 
 
+def _int4_ok() -> bool:
+    """Does this backend lower pltpu.bitcast(int8, int4) + cast + dot?
+    Probed once per cache lifetime with a tiny kernel compile (~10 s
+    through the remote tunnel); persisted next to the tile cache."""
+    global _INT4_OK
+    if _INT4_OK is not None:
+        return _INT4_OK
+    if not _tpu_backend():
+        _INT4_OK = False
+        return False
+    path = os.path.join(os.path.dirname(_TILE_CACHE_PATH), "int4_ok")
+    try:
+        with open(path) as f:
+            _INT4_OK = f.read().strip() == "1"
+            return _INT4_OK
+    except OSError:
+        pass
+    from jax.experimental import pallas as pl_  # local: import cycle safety
+    from jax.experimental.pallas import tpu as pltpu_
+
+    def kern(x_ref, q_ref, o_ref):
+        w = pltpu_.bitcast(q_ref[...], jnp.int4).astype(jnp.bfloat16)
+        o_ref[...] = jnp.dot(
+            x_ref[...], w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    try:
+        x = jnp.zeros((8, 64), jnp.bfloat16)
+        qs = jnp.zeros((32, 128), jnp.int8)
+        out = pl_.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        )(x, qs)
+        np.asarray(out)
+        _INT4_OK = True
+    except Exception:
+        _INT4_OK = False
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("1" if _INT4_OK else "0")
+    except OSError:
+        pass
+    return _INT4_OK
+
+
+_INT4_OK: Optional[bool] = None
+
+
+def _pack4_layout() -> str:
+    env = os.environ.get("CT_PACK4_LAYOUT")
+    if env in ("ksplit", "adjk"):
+        return env
+    return "adjk" if _int4_ok() else "ksplit"
+
+
 def make_qtensor(
     q: np.ndarray,  # (K, N) int8
     s: np.ndarray,  # (K/g, N) f32 (or int8 sub-scales when sd is given)
@@ -123,6 +191,7 @@ def make_qtensor(
     sd: Optional[np.ndarray] = None,  # (K/(g*sf), N) f32 superblock scales
     sm: Optional[np.ndarray] = None,
     sfactor: int = 0,
+    pack_layout: Optional[str] = None,  # None = capability default
 ) -> QTensor:
     k, n = q.shape
     # Pad big dims to 1024-multiples so large kernel tiles divide evenly:
@@ -143,23 +212,38 @@ def make_qtensor(
                 sm = np.pad(sm, ((0, kp // sb - sm.shape[0]), (0, npad - n)))
     packed = kind in _PACK4_ZP
     zp = _PACK4_ZP.get(kind, 0)
+    layout = "ksplit"
     if packed:
-        from ..formats.native import native_pack4
+        layout = pack_layout or _pack4_layout()
+        if layout == "adjk":
+            # adjacent-K rows per byte, both nibbles two's-complement
+            # (nib - 8): pltpu.bitcast(int4) then reads the natural (K, N)
+            # row order as signed values in one op (the "i" kernel modes).
+            nib = ((q.astype(np.int16) + zp - 8) & 0xF).astype(np.uint8)
+            q = (nib[0::2] | (nib[1::2] << 4)).view(np.int8)
+        else:
+            from ..formats.native import native_pack4
 
-        qp = native_pack4(np.asarray(q, np.int8), zp)
-        if qp is None:
-            half = kp // 2
-            nib = (q.astype(np.int16) + zp).astype(np.uint8)
-            qp = nib[:half] | (nib[half:] << 4)
-        # Sign-bias the byte (flip bit 7 == high nibble's bit 3): the byte's
-        # SIGNED int8 value becomes exactly 16*(hi-8) + lo, so the kernel
-        # recovers both nibbles with a single floor — f = floor(b/16) is
-        # hi-8 with no mod-16 sign fixup (the old encoding needed a second
-        # floor chain because i8 wraparound shifted hi by 16).
-        q = qp ^ 0x80
+            qp = native_pack4(np.asarray(q, np.int8), zp)
+            if qp is None:
+                half = kp // 2
+                nib = (q.astype(np.int16) + zp).astype(np.uint8)
+                qp = nib[:half] | (nib[half:] << 4)
+            # Sign-bias the byte (flip bit 7 == high nibble's bit 3): the
+            # byte's SIGNED int8 value becomes exactly 16*(hi-8) + lo, so
+            # the kernel recovers both nibbles with a single floor —
+            # f = floor(b/16) is hi-8 with no mod-16 sign fixup (the old
+            # encoding needed a second floor chain because i8 wraparound
+            # shifted hi by 16).
+            q = qp ^ 0x80
     sdtype = jnp.int8 if sd is not None else jnp.float32
     return QTensor(
-        jnp.asarray(q, jnp.uint8 if packed else jnp.int8),
+        jnp.asarray(
+            q,
+            (jnp.int8 if layout == "adjk" else jnp.uint8)
+            if packed
+            else jnp.int8,
+        ),
         jnp.asarray(s, sdtype),
         None if m is None else jnp.asarray(m, sdtype),
         kind,
@@ -171,6 +255,7 @@ def make_qtensor(
         sd=None if sd is None else jnp.asarray(sd, jnp.float32),
         sm=None if sm is None else jnp.asarray(sm, jnp.float32),
         sfactor=sfactor if sd is not None else 0,
+        pack_layout=layout,
     )
 
 
@@ -231,6 +316,17 @@ def unpack_grid(qt: QTensor) -> jnp.ndarray:
     """The (K_pad, N_pad) int grid, unpacking nibbles when packed."""
     if not qt.packed:
         return qt.qs
+    if qt.pack_layout == "adjk":
+        u = qt.qs.astype(jnp.int32) & 0xFF
+        # stored nibbles are two's-complement (nib - 8); nib = s4u ^ 8
+        lo = ((u & 0xF) ^ 8) - qt.zp  # rows 0, 2, 4, ...
+        hi = (((u >> 4) & 0xF) ^ 8) - qt.zp  # rows 1, 3, 5, ...
+        rows, n = qt.qs.shape
+        return (
+            jnp.stack([lo, hi], axis=1)
+            .reshape(2 * rows, n)
+            .astype(jnp.int8)
+        )
     lo = (qt.qs & 0xF).astype(jnp.int32) - qt.zp
     # stored high nibble is sign-biased (+8 mod 16, see make_qtensor)
     hi = ((qt.qs >> 4) ^ 8).astype(jnp.int32) - qt.zp
@@ -758,6 +854,122 @@ def _qmm_s_kernel(
     out_ref[:] += acc
 
 
+def _qmm_i4_kernel(
+    x_ref, qs_ref, *rest, group, zp, inner, cd=None, dd=None,
+    has_mins=False, sfactor=0,
+):
+    """Packed-4-bit INT4-BITCAST kernel ("i" mode, adjk layout): the whole
+    5-op floor-chain nibble unpack collapses into ONE
+    pltpu.bitcast(int4) + cast — the bitcast doubles axis -2, and the
+    adjacent-K two's-complement packing makes the doubled rows land in
+    natural (K, N) order as (nib - 8) signed values
+    (scripts/probe_int4.py). Remaining per-element VPU work: one cast,
+    one scale multiply, one bias add (when affine), one bf16 cast.
+    w = (nib - zp)*s + m = w4*s + B with B = (8 - zp)*s + m."""
+    refs = list(rest)
+    out_ref = refs.pop()
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tkb, tn = qs_ref.shape  # byte rows; real rows = 2 * tkb
+    tk = 2 * tkb
+    ck = tk // inner  # real rows per chunk
+    ckb = ck // 2
+    tkg = tk // group
+    cd = cd or jnp.float32
+    dd = dd or jnp.bfloat16  # i-modes exist for the 1-pass bf16 MXU dot
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    b = cd(8 - zp) * s if zp != 8 else None
+    if m is not None:
+        b = m if b is None else b + m
+    acc = None
+    for i in range(inner):
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        w4 = pltpu.bitcast(
+            qs_ref[i * ckb : (i + 1) * ckb, :], jnp.int4
+        ).astype(cd)
+        w = w4 * jnp.repeat(s[gs], group, axis=0)
+        if b is not None:
+            w = w + jnp.repeat(b[gs], group, axis=0)
+        d = jnp.dot(
+            x_ref[:, i * ck : (i + 1) * ck].astype(dd), w.astype(dd),
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
+def _qmm_i4_s_kernel(
+    x_ref, xs_ref, qs_ref, *rest, group, zp, inner, cd=None, dd=None,
+    has_mins=False, sfactor=0,
+):
+    """INT4-BITCAST + SUM-FOLD ("si" mode): the affine bias
+    B = (8 - zp)*s + m applies as one small MXU dot against per-group
+    activation sums (see _qmm_pack4_s_kernel), so the per-element chain
+    is exactly: bitcast, cast, scale multiply, bf16 cast."""
+    refs = list(rest)
+    out_ref = refs.pop()
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tkb, tn = qs_ref.shape
+    tk = 2 * tkb
+    ck = tk // inner
+    ckb = ck // 2
+    tkg = tk // group
+    cd = cd or jnp.float32
+    dd = dd or jnp.bfloat16
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    b = cd(8 - zp) * s if zp != 8 else None
+    if m is not None:
+        b = m if b is None else b + m
+    acc = None
+    if b is not None:
+        acc = jnp.dot(
+            xs_ref[...],
+            _pad_rows(b.astype(jnp.float32), xs_ref.shape[1]),
+            preferred_element_type=jnp.float32,
+        )
+    for i in range(inner):
+        gs = slice(i * (ck // group), (i + 1) * (ck // group))
+        w4 = pltpu.bitcast(
+            qs_ref[i * ckb : (i + 1) * ckb, :], jnp.int4
+        ).astype(cd)
+        w = w4 * jnp.repeat(s[gs], group, axis=0)
+        d = jnp.dot(
+            x_ref[:, i * ck : (i + 1) * ck].astype(dd), w.astype(dd),
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
+        )
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 def _qmm_rb_kernel(
     x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
     has_mins=False, sfactor=0,
@@ -819,7 +1031,9 @@ def _tile_divisor(dim: int, cap: int) -> int:
     return min(t, dim)
 
 
-def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
+def _tile_candidates(
+    kp: int, npad: int, packed: bool = False, layout: str = "ksplit"
+) -> list:
     """Candidate (TK, TN, inner, mode) tiles for the autotuner. Measured on
     v5e: large tiles (few grid steps) are mandatory for the int8 grid —
     (512, 256) tiles run 24x slower than (4096, 1024) on a 4096x4096 Q8_0
@@ -833,8 +1047,17 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
     # tile/inner/plane variants within 2% — the kernels are VPU-dequant
     # bound — so the list is pruned to a few tile shapes and focuses on
     # the MODE axis: '' vs sum-fold 's' vs bf16-MXU-dot suffix 'b'.
-    caps = (
-        (
+    if packed and layout == "adjk":
+        # int4-bitcast kernels (bf16 MXU dots implied); tk counts BYTE rows
+        caps = (
+            (256, 1024, 2, "i"),
+            (512, 1024, 4, "i"),
+            (512, 1024, 4, "si"),
+            (1024, 1024, 8, "si"),
+            (2048, 1024, 8, "si"),
+        )
+    elif packed:
+        caps = (
             (512, 1024, 2, ""),
             (1024, 1024, 4, ""),
             (2048, 1024, 8, "s"),
@@ -842,15 +1065,14 @@ def _tile_candidates(kp: int, npad: int, packed: bool = False) -> list:
             (512, 1024, 2, "sb"),
             (2048, 1024, 8, "sb"),
         )
-        if packed
-        else (
+    else:
+        caps = (
             (1024, 1024, 1, ""),
             (2048, 1024, 2, ""),
             (4096, 1024, 4, "s"),
             (2048, 1024, 2, "b"),
             (4096, 1024, 4, "sb"),
         )
-    )
     cands = []
     for tk_cap, tn_cap, inner, mode in caps:
         tk = _tile_divisor(kp, tk_cap)
@@ -869,7 +1091,7 @@ _TILE_CACHE: dict = {}
 _AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v5.json"),
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v6.json"),
 )
 
 
@@ -882,9 +1104,9 @@ def _load_disk_cache() -> None:
                 if len(v) not in (1, 4):  # ("xla",) or (tk, tn, inner, mode)
                     continue  # stale pre-mode cache entry
                 try:
-                    kp, npad, g, has_m, mp, packed, sf = k.split(",")
+                    kp, npad, g, has_m, mp, packed, sf, layout = k.split(",")
                 except ValueError:
-                    continue  # stale pre-sfactor key
+                    continue  # stale pre-layout key
                 _TILE_CACHE[
                     (
                         int(kp),
@@ -894,6 +1116,7 @@ def _load_disk_cache() -> None:
                         int(mp),
                         packed == "True",
                         int(sf),
+                        layout,
                     )
                 ] = tuple(v)
     except Exception:
@@ -937,10 +1160,12 @@ def _qmm_pallas_tiled(
     if sf:
         # superblock factor planes need whole superblocks per K-sub-chunk;
         # shrink `inner` until each chunk covers a superblock multiple
-        # (candidate tiles are all >= 256 rows so a valid inner exists)
-        while inner > 1 and (tk // inner) % (g * sf):
+        # (candidate tiles are all >= 256 rows so a valid inner exists).
+        # adjk tiles count BYTE rows covering 2x real rows.
+        rk = 2 * tk if qt.packed and qt.pack_layout == "adjk" else tk
+        while inner > 1 and (rk // inner) % (g * sf):
             inner -= 1
-        if (tk // inner) % (g * sf):
+        if (rk // inner) % (g * sf):
             # tile can't align to superblocks (tiny weights): materialize
             # the f32 planes outside the kernel and run unfactored
             sp, mp_ = scale_planes(qt)
@@ -963,8 +1188,9 @@ def _qmm_pallas_tiled(
     # chain unchanged; accumulation stays f32.
     dd = jnp.bfloat16 if mode.endswith("b") else None
     mode = mode[:-1] if mode.endswith("b") else mode
+    adjk = qt.packed and qt.pack_layout == "adjk"
 
-    if mode == "s":
+    if mode in ("s", "si"):
         # sum-fold kernels: per-group activation sums ride along so the
         # affine bias applies through a small MXU dot (see the kernels).
         # Each K-tile's group sums (tk/g of them, as few as 16) are padded
@@ -972,7 +1198,7 @@ def _qmm_pallas_tiled(
         # 128-divisible lane dims on block shapes — and the kernel
         # zero-pads the bias matrix rows to match.
         kreal = x.shape[1]
-        tkg = tk // g
+        tkg = (2 * tk if adjk else tk) // g
         pw = _round_up(tkg, LANE)
         xs = x.reshape(mp, kreal // g, g).sum(-1)
         if pw != tkg:
@@ -981,7 +1207,41 @@ def _qmm_pallas_tiled(
                 ((0, 0), (0, 0), (0, pw - tkg)),
             ).reshape(mp, -1)
 
-    if qt.packed:
+    if adjk:
+        # int4-bitcast kernels: tk tiles BYTE rows covering 2*tk adjacent
+        # real rows; inner chunks must cover whole groups
+        while inner > 1 and (2 * tk // inner) % g:
+            inner -= 1
+        kern = _qmm_i4_s_kernel if mode == "si" else _qmm_i4_kernel
+        kernel = functools.partial(
+            kern, group=g, zp=qt.zp, inner=inner, cd=cd, dd=dd,
+            has_mins=has_mins, sfactor=sf,
+        )
+        in_specs = [pl.BlockSpec((mp, 2 * tk), lambda i, j: (0, j))]  # x
+        args = [x]
+        if mode == "si":
+            in_specs.append(pl.BlockSpec((mp, pw), lambda i, j: (0, j)))
+            args.append(xs)
+        gspec = pl.BlockSpec((2 * tk // g, tn), lambda i, j: (j, i))
+        in_specs += [
+            pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # packed qs
+            gspec,  # scales
+        ]
+        args += [qt.qs, qt.scales]
+        if has_mins:
+            in_specs.append(gspec)
+            args.append(qt.mins)
+        if sf:
+            fspec = pl.BlockSpec(
+                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+            )
+            in_specs.append(fspec)
+            args.append(qt.sd)
+            if has_mins:
+                in_specs.append(fspec)
+                args.append(qt.sm)
+        kp = rows * 2
+    elif qt.packed:
         kern = {
             "r": _qmm_pack4_rb_kernel,
             "s": _qmm_pack4_s_kernel,
@@ -1075,10 +1335,13 @@ def _qmm_pallas_tiled(
 def _pick_tiles(x, qt: QTensor):
     mp = _round_up(x.shape[0], _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
-    key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed, qt.sfactor)
+    key = (
+        kp, npad, qt.group, qt.mins is not None, mp, qt.packed,
+        qt.sfactor, qt.pack_layout,
+    )
     if key in _TILE_CACHE:
         return _TILE_CACHE[key]
-    cands = _tile_candidates(kp, npad, qt.packed)
+    cands = _tile_candidates(kp, npad, qt.packed, qt.pack_layout)
     if isinstance(x, jax.core.Tracer):
         # under jit tracing we cannot time; use the mid-size heuristic.
         # Call autotune() eagerly (engine does at load) to do better.
@@ -1244,13 +1507,17 @@ def _qmm_pallas(
     if (mp, kp) != (m, k):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
-        tk, tn, inner, mode = _tile_candidates(rows, npad, qt.packed)[0]
+        tk, tn, inner, mode = _tile_candidates(
+            rows, npad, qt.packed, qt.pack_layout
+        )[0]
     elif choice is not None and choice != ("xla",):
         tk, tn, inner, mode = choice
     else:
         choice = _pick_tiles(x, qt)
         if choice == ("xla",):  # pragma: no cover - guarded above
-            choice = _tile_candidates(rows, npad, qt.packed)[0]
+            choice = _tile_candidates(
+                rows, npad, qt.packed, qt.pack_layout
+            )[0]
         tk, tn, inner, mode = choice
     out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret, mode=mode)
     return out[:m, :n]
@@ -1275,7 +1542,10 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
         for m in batch_sizes:
             mp = _round_up(m, _SUBLANE)
             kp, npad = qt.qs.shape
-            key = (kp, npad, qt.group, qt.mins is not None, mp, qt.packed, qt.sfactor)
+            key = (
+                kp, npad, qt.group, qt.mins is not None, mp, qt.packed,
+                qt.sfactor, qt.pack_layout,
+            )
             if key in seen or key in _TILE_CACHE:
                 continue
             seen.add(key)
@@ -1356,6 +1626,7 @@ def concat_qtensors(qts) -> Optional[QTensor]:
             or q.perm is not None
             or q.qs.shape[0] != head.qs.shape[0]
             or q.shape[0] != head.shape[0]
+            or q.pack_layout != head.pack_layout
         ):
             return None
     if head.perm is not None:
@@ -1390,6 +1661,7 @@ def concat_qtensors(qts) -> Optional[QTensor]:
         sd=sd,
         sm=sm,
         sfactor=head.sfactor,
+        pack_layout=head.pack_layout,
     )
 
 

@@ -90,18 +90,45 @@ def test_kquant_scale_factoring_active_and_exact(kind):
     )
 
 
+@pytest.mark.parametrize("kind", ["Q4_0", "Q4_1", "Q4_K", "Q2_K", "Q3_K"])
+def test_adjk_repack_bit_exact(kind, monkeypatch):
+    """The adjacent-K int4 packing dequantizes to exactly the same grid
+    as the default K-split packing."""
+    monkeypatch.setenv("CT_PACK4_LAYOUT", "adjk")
+    rng = np.random.RandomState(21)
+    w = _dense(rng, 512, 96)
+    qt = qm.quantize_qtensor(w, kind)
+    assert qt.packed and qt.pack_layout == "adjk"
+    assert qt.qs.dtype == np.int8
+    monkeypatch.setenv("CT_PACK4_LAYOUT", "ksplit")
+    ref = qm.quantize_qtensor(w, kind)
+    assert ref.pack_layout == "ksplit"
+    np.testing.assert_array_equal(
+        np.asarray(qm.dequantize_qtensor(qt)),
+        np.asarray(qm.dequantize_qtensor(ref)),
+    )
+
+
 @pytest.mark.parametrize(
-    "kind", ["Q8_0", "Q4_0", "Q4_1", "Q4_K", "Q3_K", "Q2_K", "Q6_K"]
+    "kind,layout",
+    [("Q8_0", "ksplit"), ("Q4_0", "ksplit"), ("Q4_1", "ksplit"),
+     ("Q4_K", "ksplit"), ("Q3_K", "ksplit"), ("Q2_K", "ksplit"),
+     ("Q6_K", "ksplit"),
+     ("Q4_0", "adjk"), ("Q4_1", "adjk"), ("Q4_K", "adjk"),
+     ("Q3_K", "adjk"), ("Q2_K", "adjk")],
 )
-def test_qmm_kernel_variants_match(kind):
+def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
     """Every (kernel-variant, tiling) the autotuner may race produces the
     same result (interpret mode; the race itself only picks speed)."""
     import jax.numpy as jnp
 
+    monkeypatch.setenv("CT_PACK4_LAYOUT", layout)
     rng = np.random.RandomState(7)
     k, n, m = 512, 256, 3
     w = _dense(rng, k, n)
     qt = qm.quantize_qtensor(w, kind)
+    if layout == "adjk":
+        assert qt.pack_layout == "adjk"
     x = _dense(rng, m, k, scale=0.5)
 
     ref = np.asarray(qm._qmm_jnp(x, qt))
@@ -109,7 +136,7 @@ def test_qmm_kernel_variants_match(kind):
     xp = np.zeros((mp, qt.qs.shape[0] * (2 if qt.packed else 1)), np.float32)
     xp[:m, :k] = x
     for tk, tn, inner, mode in qm._tile_candidates(
-        qt.qs.shape[0], qt.qs.shape[1], qt.packed
+        qt.qs.shape[0], qt.qs.shape[1], qt.packed, qt.pack_layout
     ):
         got = np.asarray(
             qm._qmm_pallas_tiled(
@@ -117,7 +144,7 @@ def test_qmm_kernel_variants_match(kind):
             )
         )[:m, :n]
         tag = f"{kind} tile ({tk},{tn},{inner},{mode!r})"
-        if "b" in mode:
+        if "b" in mode or "i" in mode:
             # b/sb modes round operands to bf16 for the MXU dot (same
             # error class as the XLA bf16 GEMM path). Rounding noise is
             # proportional to the OUTPUT SCALE (sum_i |q_i x_i| * eps over
