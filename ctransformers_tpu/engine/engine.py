@@ -46,8 +46,11 @@ class Engine:
         """`mesh`: a ("data", "model") jax.sharding.Mesh for multi-chip
         tensor parallelism (the reference's multi-GPU row split,
         ggml-cuda.cu:5067-5121, re-expressed as NamedShardings; XLA emits
-        the ICI collectives). Quantized matmuls take the partitionable XLA
-        path under a mesh (pallas_call is opaque to the SPMD partitioner)."""
+        the ICI collectives). TP-partitioned quantized matmuls run the
+        Pallas kernel per shard via shard_map (qmatmul.tp_ctx — pallas_call
+        is opaque to the SPMD partitioner, so the one "row" psum is
+        explicit); unsupported layouts fall back to the partitionable XLA
+        path."""
         self.spec = spec
         self.mesh = mesh
 
@@ -69,6 +72,12 @@ class Engine:
             from ..parallel import mesh as pmesh
 
             self.params = pmesh.shard_params(self.params, mesh)
+            # race kernel tiles at the LOCAL shard shapes the shard_map'd
+            # Pallas path will see (timed single-chip on zero dummies)
+            qm.autotune(
+                self.params, batch_sizes=(batch_size,),
+                tp=int(mesh.shape.get(pmesh.MODEL_AXIS, 1)),
+            )
         else:
             # pick Pallas tile sizes for the decode batch (jit can't time)
             qm.autotune(self.params, batch_sizes=(batch_size,))
@@ -99,9 +108,11 @@ class Engine:
             spec = self.spec
             sharded = self.mesh is not None
 
+            mesh = self.mesh
+
             def fn(params, tokens, n_past, kv):
                 if sharded:
-                    with qm.force_jnp():
+                    with qm.tp_ctx(mesh):
                         return forward(spec, params, tokens, n_past, kv,
                                        attn_window=window)
                 return forward(spec, params, tokens, n_past, kv,
@@ -181,10 +192,12 @@ class Engine:
         sharded = self.mesh is not None
         from .sampler import sample_device
 
+        mesh = self.mesh
+
         def run(params, kv, logits, n_past, key, last):
             import contextlib
 
-            ctx = qm.force_jnp() if sharded else contextlib.nullcontext()
+            ctx = qm.tp_ctx(mesh) if sharded else contextlib.nullcontext()
             with ctx:
                 return _run_inner(params, kv, logits, n_past, key, last)
 
@@ -293,10 +306,11 @@ class Engine:
             key = ("all", size)
             if key not in self._steps:
                 sharded = self.mesh is not None
+                mesh = self.mesh
 
                 def fn(params, toks, np_, kv, _spec=spec):
                     if sharded:
-                        with qm.force_jnp():
+                        with qm.tp_ctx(mesh):
                             return forward(_spec, params, toks, np_, kv, all_logits=True)
                     return forward(_spec, params, toks, np_, kv, all_logits=True)
 

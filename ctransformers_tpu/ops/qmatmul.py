@@ -89,6 +89,11 @@ class QTensor:
     #              axis -2 doubling yields natural (K, N) row order
     #              (scripts/probe_int4.py), for the "i" kernel modes.
     pack_layout: str = "ksplit"
+    # tensor-parallel partition of this weight, set by
+    # parallel.mesh.shard_params: "col" (output features sharded) or
+    # "row" (input features sharded; matmul needs a psum). Drives the
+    # shard_map'd Pallas path under tp_ctx().
+    pspec: Optional[str] = None
 
     def tree_flatten(self):
         return (self.qs, self.scales, self.mins, self.perm, self.sd, self.sm), (
@@ -100,16 +105,17 @@ class QTensor:
             self.splits,
             self.sfactor,
             self.pack_layout,
+            self.pspec,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins, perm, sd, sm = children
-        kind, group, shape, packed, zp, splits, sfactor, layout = aux
+        kind, group, shape, packed, zp, splits, sfactor, layout, pspec = aux
         return cls(
             qs, scales, mins, kind, group, shape, packed, zp,
             perm=perm, splits=splits, sd=sd, sm=sm, sfactor=sfactor,
-            pack_layout=layout,
+            pack_layout=layout, pspec=pspec,
         )
 
     @property
@@ -401,6 +407,26 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     if qt.perm is not None:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
     on_tpu = _FORCE_JNP_DEPTH == 0 and _tpu_backend()
+    if _TP_MESH is not None:
+        # tensor-parallel program (engine tp_ctx): weights with a TP
+        # partition run the Pallas kernel per shard under shard_map
+        # (pallas_call is opaque to the SPMD partitioner, so the manual
+        # collective — none for "col", one psum for "row" — replaces what
+        # GSPMD would emit); everything else takes the partitionable HLO
+        # path.
+        if (
+            on_tpu
+            and _FORCE != "xla"
+            and xm.shape[0] <= PALLAS_MAX_M
+            and _tp_supported(qt)
+        ):
+            out = _qmm_shard_map(xm, qt)
+        else:
+            out = _qmm_jnp(
+                xm, qt,
+                compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
+        return out.reshape(*lead, n)
     if on_tpu and _FORCE != "xla" and xm.shape[0] <= PALLAS_MAX_M:
         # Hybrid dispatch: the autotuner race includes both Pallas tile
         # candidates AND the XLA-fused bf16 GEMM (XLA wins where its
@@ -1523,12 +1549,16 @@ def _qmm_pallas(
     return out[:m, :n]
 
 
-def autotune(tree, batch_sizes=(1, 8)) -> None:
+def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
     """Eagerly pick kernel tiles for every QTensor in a pytree.
 
     jit tracing can't time candidates, so the engine calls this once at
     load time for the batch sizes the serving loop will use; later jitted
     calls hit _TILE_CACHE. No-op off-TPU or when CT_QMM_AUTOTUNE=0.
+
+    `tp`: tensor-parallel degree — TP-partitioned QTensors (pspec set)
+    are raced at their LOCAL shard shapes (what the shard_map'd kernel
+    sees), timed on one chip with zero-filled dummies.
     """
     if not _use_pallas() or not _AUTOTUNE:
         return
@@ -1539,6 +1569,10 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
     for qt in leaves:
         if not isinstance(qt, QTensor):
             continue
+        if tp > 1 and qt.pspec in ("col", "row"):
+            qt = _local_dummy(qt, tp)
+            if qt is None:
+                continue
         for m in batch_sizes:
             mp = _round_up(m, _SUBLANE)
             kp, npad = qt.qs.shape
@@ -1552,6 +1586,45 @@ def autotune(tree, batch_sizes=(1, 8)) -> None:
             kr = kp * 2 if qt.packed else kp
             x = jnp.zeros((mp, kr), jnp.float32)
             _pick_tiles(x, qt)
+
+
+def _local_dummy(qt: QTensor, tp: int) -> Optional[QTensor]:
+    """A zero-filled single-device QTensor with the LOCAL shard shapes of
+    a TP-partitioned weight (for autotuning the shard_map'd kernel)."""
+    rows, npad = qt.qs.shape
+    kp = rows * 2 if qt.packed else rows
+    col = qt.pspec == "col"
+    if col:
+        if npad % tp:
+            return None
+        rl, nl = rows, npad // tp
+    else:
+        if rows % tp:
+            return None
+        rl, nl = rows // tp, npad
+    kl = rl * 2 if qt.packed else rl
+
+    def z(a):
+        if a is None:
+            return None
+        r = a.shape[0] if col else a.shape[0] // tp
+        c = a.shape[1] // tp if col else a.shape[1]
+        return jnp.zeros((r, c), a.dtype)
+
+    return QTensor(
+        jnp.zeros((rl, nl), qt.qs.dtype),
+        z(qt.scales),
+        z(qt.mins),
+        qt.kind,
+        qt.group,
+        (kl, nl),
+        qt.packed,
+        qt.zp,
+        sd=z(qt.sd),
+        sm=z(qt.sm),
+        sfactor=qt.sfactor,
+        pack_layout=qt.pack_layout,
+    )
 
 
 def repack_select_rows(data, t: GGMLType, rows: int, cols: int, row_groups):
@@ -1590,6 +1663,106 @@ def repack_select_rows(data, t: GGMLType, rows: int, cols: int, row_groups):
 import contextlib
 
 _FORCE_JNP_DEPTH = 0
+_TP_MESH = None
+_TP_AXIS = "model"
+
+
+@contextlib.contextmanager
+def tp_ctx(mesh, axis: str = "model"):
+    """Trace-time tensor-parallel context: inside it, qmatmul routes
+    TP-partitioned QTensors (pspec set by parallel.mesh.shard_params)
+    through a shard_map'd Pallas kernel — each device runs the fused
+    dequant-matmul on its local shard; "row" weights psum their partial
+    sums (the Megatron pairing). Unpartitioned weights and unsupported
+    layouts take the partitionable XLA path, exactly as force_jnp did."""
+    global _TP_MESH, _TP_AXIS
+    prev = (_TP_MESH, _TP_AXIS)
+    _TP_MESH, _TP_AXIS = mesh, axis
+    try:
+        yield
+    finally:
+        _TP_MESH, _TP_AXIS = prev
+
+
+def _tp_supported(qt: QTensor) -> bool:
+    """Can this QTensor's matmul run as shard_map'd Pallas? Requires a TP
+    partition, a K-contiguous storage layout (int8 grid or adjk packing —
+    the ksplit byte layout puts rows r and r+K/2 in one byte, so a row
+    shard is not a contiguous K range), even plane splits, and (for row
+    shards) superblock-aligned shard boundaries."""
+    if qt.pspec not in ("col", "row") or _TP_MESH is None:
+        return False
+    if os.environ.get("CT_TP_PALLAS", "1") == "0":
+        return False
+    if qt.packed and qt.pack_layout != "adjk":
+        return False
+    tp = _TP_MESH.shape[_TP_AXIS]
+    rows, npad = qt.qs.shape
+    if qt.pspec == "col":
+        return npad % (tp * LANE) == 0
+    kp = rows * 2 if qt.packed else rows
+    if rows % tp or (kp // tp) % qt.group:
+        return False
+    if qt.sfactor and (kp // tp) % (qt.group * qt.sfactor):
+        return False  # shard boundary would straddle a superblock
+    return True
+
+
+def _qmm_shard_map(x: jnp.ndarray, qt: QTensor, interpret: bool = False):
+    """One weight's fused dequant-matmul as manual SPMD: shard_map over
+    the TP axis, Pallas kernel per local shard. "col": x replicated in,
+    outputs concatenated along N (no collective). "row": x K-sharded in
+    (free when the producer was col-sharded — the Megatron pairing),
+    partial products psum'd. x must already be perm-gathered (qmatmul
+    does it); padded K columns multiply zero scales."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = _TP_MESH, _TP_AXIS
+    tp = mesh.shape[ax]
+    k, n = qt.shape
+    rows, npad = qt.qs.shape
+    kp = rows * 2 if qt.packed else rows
+    m = x.shape[0]
+    x = x.astype(jnp.float32)
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+    col = qt.pspec == "col"
+    arr_spec = P(None, ax) if col else P(ax, None)
+    names, arrs = [], []
+    for nm, a in (
+        ("qs", qt.qs), ("scales", qt.scales), ("mins", qt.mins),
+        ("sd", qt.sd), ("sm", qt.sm),
+    ):
+        if a is not None:
+            names.append(nm)
+            arrs.append(a)
+    # local logical shape = the full local storage (no slicing inside the
+    # shard: padded columns/rows are interior on all but the last shard)
+    local_shape = (kp, npad // tp) if col else (kp // tp, npad)
+    kind, group = qt.kind, qt.group
+    packed, zp, sfac, layout = qt.packed, qt.zp, qt.sfactor, qt.pack_layout
+
+    def body(xl, *arrl):
+        d = dict(zip(names, arrl))
+        lq = QTensor(
+            d["qs"], d["scales"], d.get("mins"), kind, group, local_shape,
+            packed, zp, perm=None, splits=None, sd=d.get("sd"),
+            sm=d.get("sm"), sfactor=sfac, pack_layout=layout,
+        )
+        out = _qmm_pallas(xl, lq, interpret=interpret)
+        if not col:
+            out = jax.lax.psum(out, ax)
+        return out
+
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P() if col else P(None, ax), *([arr_spec] * len(arrs))),
+        out_specs=P(None, ax) if col else P(),
+        check_vma=False,
+    )(x, *arrs)
+    return out[:m, :n]
 
 
 @contextlib.contextmanager

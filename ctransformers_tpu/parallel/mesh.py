@@ -87,9 +87,20 @@ def param_pspec(path: Tuple, leaf) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Move a params pytree onto the mesh with TP shardings applied."""
+    """Move a params pytree onto the mesh with TP shardings applied.
+
+    QTensors are handled whole: all their planes (qs/scales/mins/sd/sm)
+    shard along the same logical weight axis (their dims are
+    proportional), and the tensor is TAGGED with pspec="col"/"row" so the
+    engine's tp_ctx can route its matmul through the shard_map'd Pallas
+    kernel (ops/qmatmul.py:_qmm_shard_map)."""
+    from ..ops import qmatmul as qm
+
+    tp = mesh.shape[MODEL_AXIS]
 
     def place(path, leaf):
+        if isinstance(leaf, qm.QTensor):
+            return _shard_qtensor(leaf, mesh, tp, param_pspec(path, leaf))
         spec = param_pspec(path, leaf)
         # don't shard axes that do not divide evenly (e.g. MQA single kv head)
         shape = np.shape(leaf)
@@ -101,7 +112,66 @@ def shard_params(params, mesh: Mesh):
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(
+        place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
+    )
+
+
+def _shard_qtensor(qt, mesh: Mesh, tp: int, spec: P):
+    """Shard one QTensor's planes along the weight axis `spec` implies."""
+    import dataclasses
+
+    from ..ops import qmatmul as qm
+
+    kind = None
+    if len(spec) == 2 and spec[1] == MODEL_AXIS:
+        kind = "col"
+    elif len(spec) == 2 and spec[0] == MODEL_AXIS:
+        kind = "row"
+    rows, npad = qt.qs.shape
+    kp = rows * 2 if qt.packed else rows
+    if kind == "col" and npad % tp:
+        kind = None
+    if kind == "row":
+        if rows % tp or (kp // qt.group) % tp:
+            kind = None
+        elif qt.sfactor and (kp // tp) % (qt.group * qt.sfactor):
+            # shard boundaries would straddle superblocks: materialize
+            # the f32 scale planes (costs the factoring's ~21% stream
+            # saving on this tensor, keeps the shard layout clean)
+            s, m = qm.scale_planes(qt)
+            qt = dataclasses.replace(
+                qt, scales=s, mins=m, sd=None, sm=None, sfactor=0
+            )
+
+    def put(a, sp):
+        if a is None:
+            return None
+        return jax.device_put(a, NamedSharding(mesh, sp))
+
+    if kind is None:
+        rep = P()
+        return dataclasses.replace(
+            qt,
+            qs=put(qt.qs, rep),
+            scales=put(qt.scales, rep),
+            mins=put(qt.mins, rep),
+            perm=put(qt.perm, rep),
+            sd=put(qt.sd, rep),
+            sm=put(qt.sm, rep),
+            pspec=None,
+        )
+    arr = P(None, MODEL_AXIS) if kind == "col" else P(MODEL_AXIS, None)
+    return dataclasses.replace(
+        qt,
+        qs=put(qt.qs, arr),
+        scales=put(qt.scales, arr),
+        mins=put(qt.mins, arr),
+        perm=put(qt.perm, P()),
+        sd=put(qt.sd, arr),
+        sm=put(qt.sm, arr),
+        pspec=kind,
+    )
 
 
 def kv_pspec(spec: ArchSpec, mesh: Mesh, batch: int = 0) -> P:

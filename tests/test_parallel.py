@@ -79,3 +79,50 @@ def test_engine_with_mesh_matches_single_device():
     np.testing.assert_allclose(eng.logits, ref_logits, atol=1e-4, rtol=1e-4)
     toks = eng.decode(5, temperature=0.0, repetition_penalty=1.0)
     assert toks == ref_toks
+
+
+def test_qtensor_pspec_tagging():
+    """shard_params tags QTensors with their TP partition and shards all
+    planes along the same weight axis."""
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+    from ctransformers_tpu.ops import qmatmul as qm
+
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=9, quantize="q4_k")
+    mesh = pmesh.make_mesh(8, data=1)
+    sp = pmesh.shard_params(params, mesh)
+    layer = sp["layers"][0]
+    assert layer["wq"].pspec == "col"
+    assert layer["wo"].pspec == "row"
+    assert layer["w_down"].pspec == "row"
+    # every plane of a tagged tensor carries a mesh sharding
+    for plane in (layer["wq"].qs, layer["wq"].scales):
+        assert plane.sharding.spec[-1] == "model"
+
+
+@pytest.mark.parametrize("pspec", ["col", "row"])
+@pytest.mark.parametrize("kind,layout", [("Q8_0", "ksplit"), ("Q4_K", "adjk")])
+def test_qmm_shard_map_matches_jnp(pspec, kind, layout, monkeypatch):
+    """The shard_map'd Pallas matmul (interpret mode, 8-device CPU mesh)
+    equals the XLA dequant+matmul reference for both TP partitions."""
+    import dataclasses
+
+    from ctransformers_tpu.ops import qmatmul as qm
+
+    monkeypatch.setenv("CT_PACK4_LAYOUT", layout)
+    rng = np.random.RandomState(33)
+    # sized so the TP divisibility gates pass at tp=8 (npad multiple of
+    # 8*128 lanes; row shards hold whole superblocks)
+    k, n, m = 2048, 2048, 3
+    w = (rng.randn(k, n) * 0.3).astype(np.float32)
+    qt = qm.quantize_qtensor(w, kind)
+    qt = dataclasses.replace(qt, pspec=pspec)
+    x = (rng.randn(m, k) * 0.5).astype(np.float32)
+
+    mesh = pmesh.make_mesh(8, data=1)
+    with qm.tp_ctx(mesh):
+        assert qm._tp_supported(qt), "expected supported layout"
+        got = np.asarray(qm._qmm_shard_map(jnp.asarray(x), qt, interpret=True))
+    ref = np.asarray(qm._qmm_jnp(jnp.asarray(x), qt))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).max() < 3e-2 * scale
