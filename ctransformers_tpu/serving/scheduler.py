@@ -50,6 +50,7 @@ class Sequence:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     _key: Optional[object] = None  # per-request jax PRNG key (chunked decode)
+    kv_start: int = 0  # KV rows [0, kv_start) inherited via prefix reuse
 
     @property
     def all_tokens(self) -> List[int]:
@@ -63,7 +64,14 @@ class BatchScheduler:
         params,
         batch_slots: int = 8,
         kv_dtype=jnp.float32,
+        prefix_reuse: bool = True,
     ):
+        """`prefix_reuse`: new requests skip prefill for the longest
+        prompt prefix whose KV is already resident in SOME slot (the
+        serving-level analog of the reference's session/LCP reuse,
+        llm.py:469-500 — which is per-context only). Cross-slot hits copy
+        the source slot's cache rows (one static jitted copy, ~0.3 ms per
+        slot for 7B); same-slot hits are free."""
         self.spec = spec
         from ..ops import qmatmul as qm
 
@@ -89,6 +97,12 @@ class BatchScheduler:
         self._logits = jnp.zeros((batch_slots, spec.n_vocab), jnp.float32)
         self._chunk_fns = {}
         self._step_fns = {}
+        # prefix reuse: per-slot record of the tokens whose KV rows are
+        # resident (kept after a sequence finishes, until slot reuse)
+        self.prefix_reuse = prefix_reuse
+        self._slot_tokens: List[List[int]] = [[] for _ in range(batch_slots)]
+        self.reused_tokens = 0  # stat: prefill tokens skipped
+        self._copy_fn = None
 
     def _step_fn(self, window=None):
         """Jitted batched step; `window` statically bounds attention reads
@@ -124,20 +138,74 @@ class BatchScheduler:
         admitted: List[Sequence] = []
         while self.waiting and self.free:
             seq = self.waiting.pop(0)
-            slot = self.free.pop(0)
+            toks = self._clamped(seq)
+            src, cp = self._best_prefix(toks)
+            if src >= 0 and src in self.free:
+                # same-slot hit: take that slot, KV already in place
+                self.free.remove(src)
+                slot = src
+            else:
+                slot = self.free.pop(0)
+                if src >= 0 and cp >= 16:
+                    # cross-slot hit: copy the source slot's cache rows
+                    # (whole slot — one static program; rows past cp are
+                    # garbage but positionally masked until overwritten)
+                    if self._copy_fn is None:
+                        self._copy_fn = jax.jit(
+                            lambda kv, s, d: KVCache(
+                                kv.k.at[:, d].set(kv.k[:, s]),
+                                kv.v.at[:, d].set(kv.v[:, s]),
+                            ),
+                            donate_argnums=(0,),
+                        )
+                    self.kv = self._copy_fn(
+                        self.kv, jnp.int32(src), jnp.int32(slot)
+                    )
+                    self._slot_tokens[slot] = list(self._slot_tokens[src])
+                else:
+                    cp = 0
+            seq.kv_start = cp
+            self.reused_tokens += cp
+            self._slot_tokens[slot] = toks[:cp]
             seq.slot = slot
             self.active[slot] = seq
             admitted.append(seq)
         if not admitted:
             return
         # slots admitted together prefill in ONE dispatch per chunk when
-        # their (clamped) prompt lengths match — 8 concurrent arrivals cost
+        # their REMAINDER lengths match — 8 concurrent arrivals cost
         # 8 sequential full-model dispatches otherwise
         groups: Dict[int, List[Sequence]] = {}
         for seq in admitted:
-            groups.setdefault(len(self._clamped(seq)), []).append(seq)
+            groups.setdefault(
+                len(self._clamped(seq)) - seq.kv_start, []
+            ).append(seq)
         for seqs in groups.values():
             self._prefill_group(seqs)
+
+    def _best_prefix(self, toks: List[int]):
+        """(slot, common-prefix length) of the best resident-KV match for
+        `toks` — free same-slot hits first, else the longest prefix; -1
+        when reuse is off or nothing useful matches. Capped at
+        len(toks) - 1: at least one token must prefill to produce
+        logits."""
+        if not self.prefix_reuse:
+            return -1, 0
+        best, best_cp = -1, 0
+        for s, hist in enumerate(self._slot_tokens):
+            # active slots are fine as COPY sources: decode only appends
+            # at n_past, so rows [0, cp) are stable and host-ordered
+            # dispatches sequence the copy before any further write
+            cp = 0
+            cap = min(len(toks) - 1, len(hist))
+            while cp < cap and toks[cp] == hist[cp]:
+                cp += 1
+            # prefer free same-slot hits (no copy) on ties
+            if cp > best_cp or (cp == best_cp and cp and s in self.free):
+                best, best_cp = s, cp
+        if best_cp < 1:
+            return -1, 0
+        return best, best_cp
 
     def _clamped(self, seq: Sequence) -> List[int]:
         """Prompt tokens clamped to leave room for generation (llm.h:126)."""
@@ -151,10 +219,14 @@ class BatchScheduler:
         self._prefill_group([seq])
 
     def _prefill_group(self, seqs: List[Sequence]) -> None:
-        """Evaluate equal-length prompts into their slots' KV regions
-        (chunked); one forward_batched dispatch per chunk serves the whole
-        group."""
-        toks = {seq.slot: self._clamped(seq) for seq in seqs}
+        """Evaluate equal-REMAINDER-length prompts into their slots' KV
+        regions (chunked); one forward_batched dispatch per chunk serves
+        the whole group. Each sequence's first kv_start positions were
+        inherited via prefix reuse and are skipped."""
+        toks = {
+            seq.slot: self._clamped(seq)[seq.kv_start :] for seq in seqs
+        }
+        start = {seq.slot: seq.kv_start for seq in seqs}
         n = len(next(iter(toks.values())))
         assert all(len(t) == n for t in toks.values())
         pos = 0
@@ -170,13 +242,14 @@ class BatchScheduler:
             active = np.zeros(self.slots, bool)
             for slot, t in toks.items():
                 chunk_tokens[slot] = t[pos : pos + size]
-                n_past[slot] = pos
+                n_past[slot] = start[slot] + pos
                 active[slot] = True
             # window covers every live slot AND this prefill chunk's end
             from ..models.forward import round_window
 
             top = max((int(self.n_past[s]) for s in self.active), default=0)
-            w = round_window(max(top + 1, pos + size), self.spec.n_ctx)
+            hi = max(start[s] + pos + size for s in toks)
+            w = round_window(max(top + 1, hi), self.spec.n_ctx)
             logits, _, self.kv = self._step_fn(w)(
                 self.params,
                 jnp.asarray(chunk_tokens),
@@ -188,11 +261,13 @@ class BatchScheduler:
         # merge the group's last-token logits on device (no host copy)
         sel = np.zeros(self.slots, bool)
         for slot in toks:
-            self.n_past[slot] = n
+            self.n_past[slot] = start[slot] + n
             sel[slot] = True
         self._logits = jnp.where(
             jnp.asarray(sel)[:, None], logits, self._logits
         )
+        for seq in seqs:
+            self._slot_tokens[seq.slot] = list(self._clamped(seq))
 
     def _live_window(self, extra: int = 1):
         """round_window bucket covering every active slot's positions plus
@@ -251,6 +326,7 @@ class BatchScheduler:
             tok = int(tokens[slot, 0])
             r = seq.request
             self.n_past[slot] += 1
+            self._slot_tokens[slot].append(tok)  # KV row written above
             is_eos = r.eos_token_id is not None and tok == r.eos_token_id
             if not is_eos:
                 seq.generated.append(tok)
@@ -376,6 +452,8 @@ class BatchScheduler:
         done_uids = []
         for slot, seq in list(self.active.items()):
             seq._key = jnp.asarray(keys[slot])
+            # every chunk token wrote a KV row (even past EOS truncation)
+            self._slot_tokens[slot].extend(int(t) for t in toks[:, slot])
             r = seq.request
             for t in toks[:, slot]:
                 t = int(t)

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Sequential TPU measurement queue — run in BACKGROUND with a generous
+# self-timeout per stage; never timeout-kill mid-stage (NOTES: wedges the
+# tunnel 10-30 min). Each stage gates on the previous one's success.
+set -u
+cd /root/repo
+LOG=${TPU_QUEUE_LOG:-/tmp/tpu_queue.log}
+exec >>"$LOG" 2>&1
+
+stage() { echo; echo "=== [$(date +%H:%M:%S)] $1 ==="; }
+
+stage "gate: tiny probe"
+timeout 900 python - <<'EOF' || { echo "GATE FAILED - TPU still down"; exit 1; }
+import numpy as np, jax, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.bfloat16)
+print("tiny dot", float(np.asarray(jnp.max(jnp.dot(x, x)))))
+EOF
+
+stage "health"
+timeout 1200 python scripts/health.py || echo "health failed"
+
+stage "probe_int4"
+timeout 1800 python scripts/probe_int4.py || echo "probe_int4 failed"
+
+stage "bench single (layout auto)"
+timeout 3600 python bench.py || echo "bench single failed"
+
+stage "bench batch"
+BENCH_MODE=batch timeout 3600 python bench.py || echo "bench batch failed"
+
+stage "queue done"

@@ -213,3 +213,58 @@ def test_device_chunked_decode_sampled_deterministic(tmp_path):
 
     a, bb = run_once(), run_once()
     assert a == bb and len(a) == 6
+
+
+def test_prefix_reuse_matches_fresh(tmp_path):
+    """A second wave of requests sharing long prompt prefixes with
+    finished sequences skips their prefill (same-slot and cross-slot KV
+    reuse) and still generates identical tokens."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=43)
+    b = load_model(path, "gpt2")
+
+    base = [(i * 7 + 3) % b.spec.n_vocab for i in range(24)]
+    p1 = base + [1]
+    p2 = base + [2]  # same 24-token prefix, different tail
+
+    fresh = BatchScheduler(b.spec, b.params, batch_slots=2,
+                           prefix_reuse=False)
+    u1 = fresh.submit(Request(tokens=p1, max_new_tokens=5, sampler="greedy"))
+    u2 = fresh.submit(Request(tokens=p2, max_new_tokens=5, sampler="greedy"))
+    want = fresh.run()
+
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    a1 = sched.submit(Request(tokens=p1, max_new_tokens=5, sampler="greedy"))
+    got1 = sched.run()
+    assert got1[a1] == want[u1]
+    # second wave: p1 again (same-slot hit) and p2 (cross-slot copy)
+    a2 = sched.submit(Request(tokens=p1, max_new_tokens=5, sampler="greedy"))
+    a3 = sched.submit(Request(tokens=p2, max_new_tokens=5, sampler="greedy"))
+    got2 = sched.run()
+    assert got2[a2] == want[u1]
+    assert got2[a3] == want[u2]
+    assert sched.reused_tokens >= 24 + 24  # both second-wave prompts hit
+
+
+def test_prefix_reuse_chunked_decode(tmp_path):
+    """Prefix reuse composes with device-side chunked decode."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=44)
+    b = load_model(path, "gpt2")
+
+    prompt = [(i * 5 + 1) % b.spec.n_vocab for i in range(20)]
+    fresh = BatchScheduler(b.spec, b.params, batch_slots=2,
+                           prefix_reuse=False)
+    uf = fresh.submit(Request(tokens=prompt, max_new_tokens=6,
+                              sampler="greedy"))
+    want = fresh.run(device_chunk=4)[uf]
+
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    u1 = sched.submit(Request(tokens=prompt, max_new_tokens=6,
+                              sampler="greedy"))
+    r1 = sched.run(device_chunk=4)[u1]
+    u2 = sched.submit(Request(tokens=prompt, max_new_tokens=6,
+                              sampler="greedy"))
+    r2 = sched.run(device_chunk=4)[u2]
+    assert r1 == want and r2 == want
+    assert sched.reused_tokens >= 19  # second submit reused the prefix
