@@ -22,10 +22,13 @@ timeout 1200 python scripts/health.py || echo "health failed"
 stage "probe_int4"
 timeout 1800 python scripts/probe_int4.py || echo "probe_int4 failed"
 
-stage "bench single (layout auto)"
-timeout 3600 python bench.py || echo "bench single failed"
+stage "bench single (ksplit baseline)"
+CT_PACK4_LAYOUT=ksplit timeout 3600 python bench.py || echo "bench ksplit failed"
 
-stage "bench batch"
+stage "bench single (layout auto: adjk when int4 lowers)"
+timeout 3600 python bench.py || echo "bench auto failed"
+
+stage "bench batch (layout auto)"
 BENCH_MODE=batch timeout 3600 python bench.py || echo "bench batch failed"
 
 stage "queue done"
