@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--lora", default=None, help="ggla adapter path")
     ap.add_argument("--fast", action="store_true",
                     help="fused on-device decode loop")
+    ap.add_argument("--draft", default=None,
+                    help="draft model path: greedy speculative decoding "
+                         "(exact target output, draft only sets speed)")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="draft tokens proposed per speculative block")
     ap.add_argument("--timings", action="store_true")
     args = ap.parse_args()
 
@@ -38,6 +43,20 @@ def main():
     llm = AutoModelForCausalLM.from_pretrained(
         args.model, model_type=args.model_type, lora=args.lora
     )
+    if args.draft:
+        from ctransformers_tpu.engine.speculative import decode_speculative
+
+        dllm = AutoModelForCausalLM.from_pretrained(args.draft)
+        toks = llm.tokenize(args.prompt)
+        llm._engine.eval(toks)
+        dllm._engine.eval(toks)
+        out = decode_speculative(
+            llm._engine, dllm._engine, args.n, gamma=args.gamma
+        )
+        print(llm.detokenize(out))
+        if args.timings:
+            llm._engine.print_timings()
+        return
     kwargs = dict(
         max_new_tokens=args.n,
         seed=args.seed,
