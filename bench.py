@@ -22,6 +22,16 @@ import time
 BASELINE_TOK_S = 14.0
 
 
+def _kv_dtype():
+    """BENCH_KV: bf16 (default) | int8 | f32. int8 halves KV HBM reads,
+    the dominant batched-decode cost (see tests/test_kv_int8.py)."""
+    import jax.numpy as jnp
+
+    return {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}[
+        os.environ.get("BENCH_KV", "bf16")
+    ]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -31,6 +41,7 @@ def main():
 
     kind = os.environ.get("BENCH_KIND", "q4_k")
     n_ctx = int(os.environ.get("BENCH_CTX", "1024"))
+    kv_dtype = _kv_dtype()
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
     decode_tokens = int(os.environ.get("BENCH_DECODE", "128"))
     mode = os.environ.get("BENCH_MODE", "single")  # single | batch
@@ -42,7 +53,7 @@ def main():
     t0 = time.time()
     params = random_params(spec, seed=0, quantize=kind, exact=False)
     t1 = time.time()
-    engine = Engine(spec, params, kv_dtype=jnp.bfloat16)
+    engine = Engine(spec, params, kv_dtype=kv_dtype)
     t2 = time.time()
     print(
         f"# build {t1-t0:.1f}s, engine+autotune {t2-t1:.1f}s "
@@ -112,7 +123,7 @@ def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
     params = random_params(spec, seed=0, quantize=kind, exact=False)
     qm.fuse_layer_params(params)
     qm.autotune(params, batch_sizes=(slots,))
-    sched = BatchScheduler(spec, params, batch_slots=slots, kv_dtype=jnp.bfloat16)
+    sched = BatchScheduler(spec, params, batch_slots=slots, kv_dtype=_kv_dtype())
 
     prompts = [[(i * 37 + j) % spec.n_vocab for j in range(32)] for i in range(slots)]
     # warm: compiles prefill + chunked decode programs

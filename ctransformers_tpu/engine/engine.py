@@ -339,14 +339,30 @@ class Engine:
             "kv_dtype": str(np.dtype(jnp.zeros(0, self.kv_dtype).dtype)),
         }
         n = self.n_past
-        state["kv_k"] = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
-        state["kv_v"] = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
+        k = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
+        v = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
+        if self.kv.ks is not None:  # int8 cache: dequantize for the snapshot
+            k = k * np.asarray(self.kv.ks[:, :, :n], np.float32)[..., None]
+            v = v * np.asarray(self.kv.vs[:, :, :n], np.float32)[..., None]
+        state["kv_k"] = k
+        state["kv_v"] = v
         return state
 
     def load_state(self, state: dict) -> None:
         n = int(state["n_past"])
         kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
-        if n:
+        if n and kv.ks is not None:
+            from ..models.forward import kv_quantize
+
+            kq, ks = kv_quantize(jnp.asarray(state["kv_k"], jnp.float32))
+            vq, vs = kv_quantize(jnp.asarray(state["kv_v"], jnp.float32))
+            kv = KVCache(
+                kv.k.at[:, :, :n].set(kq),
+                kv.v.at[:, :, :n].set(vq),
+                kv.ks.at[:, :, :n].set(ks),
+                kv.vs.at[:, :, :n].set(vs),
+            )
+        elif n:
             k = jnp.asarray(state["kv_k"], self.kv_dtype)
             v = jnp.asarray(state["kv_v"], self.kv_dtype)
             kv = KVCache(

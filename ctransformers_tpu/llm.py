@@ -113,6 +113,7 @@ class LLM:
         config: Optional[Config] = None,
         lib: Optional[str] = None,
         lora: Optional[str] = None,
+        kv_dtype: Optional[str] = None,
     ):
         """Loads the language model from a local file.
 
@@ -123,12 +124,16 @@ class LLM:
             lib: Ignored (kept for API compatibility with the reference).
             lora: Optional path to a ggla LoRA adapter (llama models;
                 reference llama_apply_lora_from_file, llama.cpp:5002-5277).
+            kv_dtype: KV cache storage: "f32" (default), "bf16", or "int8"
+                (per-token-head quantized rows; halves cache HBM traffic).
+                Also settable via the CT_KV_DTYPE env var.
         """
         from .utils import is_gguf
 
         config = config or Config()
         self._model_path = model_path
         self._config = config
+        self._kv_dtype = kv_dtype
         self._context: List[int] = []
         self._mirostat_state = None
         self._rng = None
@@ -161,7 +166,17 @@ class LLM:
         if bundle.architecture:
             model_type = bundle.architecture
         self._model_type = model_type
-        self._engine = Engine(bundle.spec, bundle.params)
+        import os as _os
+
+        import jax.numpy as _jnp
+
+        kd = getattr(self, "_kv_dtype", None) or _os.environ.get("CT_KV_DTYPE")
+        kv_dtype = {
+            None: _jnp.float32, "f32": _jnp.float32,
+            "bf16": _jnp.bfloat16, "f16": _jnp.bfloat16,
+            "int8": _jnp.int8,
+        }[kd]
+        self._engine = Engine(bundle.spec, bundle.params, kv_dtype=kv_dtype)
         self._sample_fn = (
             samplers.sample_llama
             if bundle.sampler == "llama"

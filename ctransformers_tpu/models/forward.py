@@ -58,15 +58,43 @@ def _ablate() -> frozenset:
 
 
 class KVCache(NamedTuple):
-    """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh)."""
+    """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh).
+
+    With dtype=int8 the cache stores symmetric per-(token, head) quantized
+    rows: k/v int8 plus f32 scale planes ks/vs of shape (L, B, n_ctx, Hkv)
+    (amax/127 per dh-row). Decode is KV-bandwidth-bound at batch>1, so
+    halving cache bytes vs bf16 directly cuts the dominant per-step HBM
+    read; scales add 1/dh of the original volume (~0.8% at dh=128). The
+    reference's analog is the f16_kv flag (llama.h:137) — it has no
+    quantized cache."""
 
     k: jnp.ndarray
     v: jnp.ndarray
+    ks: Optional[jnp.ndarray] = None  # (L, B, n_ctx, Hkv) f32, int8 mode only
+    vs: Optional[jnp.ndarray] = None
 
     @staticmethod
     def create(spec: ArchSpec, batch: int, dtype=jnp.float32) -> "KVCache":
         shape = (spec.n_layer, batch, spec.n_ctx, spec.kv_heads, spec.head_dim)
+        import numpy as _np
+
+        if _np.dtype(dtype) == _np.int8:
+            return KVCache(
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(shape[:-1], jnp.float32),
+            )
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def kv_quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 row quantization over the last axis: returns
+    (int8 values, f32 scale over the leading axes), x ~= q * scale."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-8).astype(jnp.float32) / 127.0
+    q = jnp.round(x / scale[..., None]).astype(jnp.int8)
+    return q, scale
 
 
 def _norm(spec: ArchSpec, x, g, b):
@@ -138,15 +166,26 @@ def _attention(
     # append to the FULL stacked cache at (layer, n_past): an in-place
     # dynamic_update_slice on the donated (L, B, S, H, dh) buffer — never
     # rebuild the cache with jnp.stack (a per-token O(cache) copy)
+    quant = kv.ks is not None
     if "kvwrite" not in ablate:
-        kv = KVCache(
-            jax.lax.dynamic_update_slice(
-                kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
-            ),
-            jax.lax.dynamic_update_slice(
-                kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
-            ),
-        )
+        if quant:
+            kq, ksn = kv_quantize(k)
+            vq, vsn = kv_quantize(v)
+            kv = KVCache(
+                jax.lax.dynamic_update_slice(kv.k, kq[None], (il, 0, n_past, 0, 0)),
+                jax.lax.dynamic_update_slice(kv.v, vq[None], (il, 0, n_past, 0, 0)),
+                jax.lax.dynamic_update_slice(kv.ks, ksn[None], (il, 0, n_past, 0)),
+                jax.lax.dynamic_update_slice(kv.vs, vsn[None], (il, 0, n_past, 0)),
+            )
+        else:
+            kv = KVCache(
+                jax.lax.dynamic_update_slice(
+                    kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
+                ),
+            )
     if "attnmath" in ablate:
         ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
         out = mm(ctx, layer["wo"])
@@ -155,6 +194,8 @@ def _attention(
         return out, kv
     k_cache = kv.k[il]
     v_cache = kv.v[il]
+    k_scale = kv.ks[il] if quant else None
+    v_scale = kv.vs[il] if quant else None
     chunked = _use_chunked_attention(spec, t)
     if window is not None and window < k_cache.shape[1]:
         if chunked:  # the chunked path reshapes by its chunk size
@@ -163,11 +204,14 @@ def _attention(
         if window < k_cache.shape[1]:
             k_cache = k_cache[:, :window]
             v_cache = v_cache[:, :window]
+            if quant:
+                k_scale = k_scale[:, :window]
+                v_scale = v_scale[:, :window]
 
     if chunked:
-        ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past)
+        ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale, v_scale)
     else:
-        ctx = _full_scores(spec, q, k_cache, v_cache, n_past)
+        ctx = _full_scores(spec, q, k_cache, v_cache, n_past, k_scale, v_scale)
     ctx = ctx.reshape(b, t, h * dh)
 
     out = mm(ctx, layer["wo"])
@@ -214,27 +258,38 @@ def round_window(pos: int, n_ctx: int) -> int:
     return min(w * ATTN_WINDOW_STEP, n_ctx)
 
 
-def _full_scores(spec, q, k_cache, v_cache, n_past):
+def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
     """Materialized (B, H, T, S) attention (decode / short prefill).
 
     Computed in the cache dtype (bf16 on TPU halves KV HBM traffic);
-    accumulation stays f32 on the MXU."""
+    accumulation stays f32 on the MXU. With an int8 cache (k_scale/v_scale
+    given) the per-token scales factor OUT of both dots: scores multiply by
+    k_scale[s] after the QK dot, and v_scale[s] folds into the probs before
+    the PV dot — the dots read raw int8 (converted in-register), never a
+    dequantized cache copy."""
     b, t = q.shape[:2]
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
     kf, vf = k_cache, v_cache
+    quant = k_scale is not None
+    cdt = jnp.bfloat16 if quant else kf.dtype
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
         vf = jnp.repeat(vf, rep, axis=2)
+        if quant:
+            k_scale = jnp.repeat(k_scale, rep, axis=2)
+            v_scale = jnp.repeat(v_scale, rep, axis=2)
 
     s = k_cache.shape[1]  # may be a static window < n_ctx
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     scores = jnp.einsum(
         "bthd,bshd->bhts",
-        q.astype(kf.dtype),
-        kf,
+        q.astype(cdt),
+        kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
+    if quant:  # (B, S, H) -> (B, H, 1, S)
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, :]
 
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
@@ -245,27 +300,39 @@ def _full_scores(spec, q, k_cache, v_cache, n_past):
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
+    if quant:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
     return jnp.einsum(
         "bhts,bshd->bthd",
-        probs.astype(vf.dtype),
-        vf,
+        probs.astype(cdt),
+        vf.astype(cdt),
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32)
 
 
-def _chunked_scores(spec, q, k_cache, v_cache, n_past):
+def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
     """Online-softmax (flash-style) attention over KV chunks via lax.scan:
-    peak memory is O(T * chunk) instead of O(T * n_ctx)."""
+    peak memory is O(T * chunk) instead of O(T * n_ctx). Int8-cache scale
+    factoring as in _full_scores, applied per chunk (the softmax denominator
+    accumulates UNSCALED probabilities; v_scale folds into the PV term
+    only)."""
     b, t = q.shape[:2]
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
     c = _attn_chunk()
     n_chunks = k_cache.shape[1] // c  # cache may be a static window
+    quant = k_scale is not None
+    cdt = jnp.bfloat16 if quant else k_cache.dtype
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
 
     kc = k_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
     vc = v_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
-    qf = q.astype(k_cache.dtype)
+    if quant:
+        ksc = k_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
+        vsc = v_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
+    else:
+        ksc = vsc = jnp.zeros((n_chunks, 0))
+    qf = q.astype(cdt)
     qpos = n_past + jnp.arange(t)[:, None]  # (T, 1)
     slopes = None
     if spec.alibi_bias_max > 0:
@@ -275,14 +342,20 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past):
 
     def body(carry, chunk):
         m, l, acc, idx = carry
-        k_c, v_c = chunk  # (B, c, Hkv, dh)
+        k_c, v_c, ks_c, vs_c = chunk  # (B, c, Hkv, dh), scales (B, c, Hkv)
         if hkv != h:
             rep = h // hkv
             k_c = jnp.repeat(k_c, rep, axis=2)
             v_c = jnp.repeat(v_c, rep, axis=2)
+            if quant:
+                ks_c = jnp.repeat(ks_c, rep, axis=2)
+                vs_c = jnp.repeat(vs_c, rep, axis=2)
         s_c = jnp.einsum(
-            "bthd,bshd->bhts", qf, k_c, preferred_element_type=jnp.float32
+            "bthd,bshd->bhts", qf, k_c.astype(cdt),
+            preferred_element_type=jnp.float32,
         ) * scale  # (B, H, T, c)
+        if quant:  # (B, c, H) -> (B, H, 1, c)
+            s_c = s_c * ks_c.transpose(0, 2, 1)[:, :, None, :]
         kpos = idx * c + jnp.arange(c)[None, :]  # (1, c)
         if slopes is not None:
             s_c = s_c + slopes[None, :, None, None] * kpos[None, None, :, :].astype(jnp.float32).reshape(1, 1, 1, c)
@@ -295,10 +368,11 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past):
         alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
         p = jnp.exp(s_c - m_safe[..., None])  # (B, H, T, c)
         l = l * alpha + p.sum(axis=-1)
+        pv_in = p * vs_c.transpose(0, 2, 1)[:, :, None, :] if quant else p
         pv = jnp.einsum(
             "bhts,bshd->bthd",
-            p.astype(v_c.dtype),
-            v_c,
+            pv_in.astype(cdt),
+            v_c.astype(cdt),
             preferred_element_type=jnp.float32,
         )
         acc = acc * alpha.transpose(0, 2, 1)[..., None] + pv
@@ -307,7 +381,9 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past):
     m0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, t), jnp.float32)
     acc0 = jnp.zeros((b, t, h, dh), jnp.float32)
-    (m, l, acc, _), _ = jax.lax.scan(body, (m0, l0, acc0, jnp.int32(0)), (kc, vc))
+    (m, l, acc, _), _ = jax.lax.scan(
+        body, (m0, l0, acc0, jnp.int32(0)), (kc, vc, ksc, vsc)
+    )
     l = jnp.maximum(l, 1e-30)
     return acc / l.transpose(0, 2, 1)[..., None]
 
@@ -449,14 +525,25 @@ def _attention_batched(
     # so 64 of them are noise while the defer plumbing (concat softmax,
     # L-way stack) was real work. Removed 2026-08-17.
     ablate = _ablate()
+    quant = kv.ks is not None
     if "kvwrite" not in ablate:
         bidx = jnp.arange(b)[:, None]  # (B, 1)
         wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
         wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
-        kv = KVCache(
-            kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
-            kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
-        )
+        if quant:
+            kq, ksn = kv_quantize(k)
+            vq, vsn = kv_quantize(v)
+            kv = KVCache(
+                kv.k.at[il, bidx, wpos].set(kq, mode="drop"),
+                kv.v.at[il, bidx, wpos].set(vq, mode="drop"),
+                kv.ks.at[il, bidx, wpos].set(ksn, mode="drop"),
+                kv.vs.at[il, bidx, wpos].set(vsn, mode="drop"),
+            )
+        else:
+            kv = KVCache(
+                kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
+                kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
+            )
 
     if "attnmath" in ablate:
         ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
@@ -466,20 +553,31 @@ def _attention_batched(
         return out, kv
 
     kf, vf = kv.k[il], kv.v[il]
+    ksf = kv.ks[il] if quant else None
+    vsf = kv.vs[il] if quant else None
     if window is not None and window < kf.shape[1]:
         kf = kf[:, :window]
         vf = vf[:, :window]
+        if quant:
+            ksf = ksf[:, :window]
+            vsf = vsf[:, :window]
     s = kf.shape[1]
+    cdt = jnp.bfloat16 if quant else kf.dtype
     if hkv != h:
         rep = h // hkv
         kf = jnp.repeat(kf, rep, axis=2)
         vf = jnp.repeat(vf, rep, axis=2)
+        if quant:
+            ksf = jnp.repeat(ksf, rep, axis=2)
+            vsf = jnp.repeat(vsf, rep, axis=2)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(kf.dtype), kf,
+        "bthd,bshd->bhts", q.astype(cdt), kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
+    if quant:  # (B, S, H) -> (B, H, 1, S)
+        scores = scores * ksf.transpose(0, 2, 1)[:, :, None, :]
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
 
@@ -489,8 +587,10 @@ def _attention_batched(
     scores = jnp.where(mask[:, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
+    if quant:
+        probs = probs * vsf.transpose(0, 2, 1)[:, :, None, :]
     ctx = jnp.einsum(
-        "bhts,bshd->bthd", probs.astype(vf.dtype), vf,
+        "bhts,bshd->bthd", probs.astype(cdt), vf.astype(cdt),
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32).reshape(b, t, h * dh)
     out = mm(ctx, layer["wo"])

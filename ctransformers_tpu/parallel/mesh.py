@@ -186,8 +186,14 @@ def kv_pspec(spec: ArchSpec, mesh: Mesh, batch: int = 0) -> P:
 
 def shard_kv(kv, spec: ArchSpec, mesh: Mesh):
     batch = int(jax.tree_util.tree_leaves(kv)[0].shape[1])
-    ns = NamedSharding(mesh, kv_pspec(spec, mesh, batch))
-    return jax.tree.map(lambda a: jax.device_put(a, ns), kv)
+    full = kv_pspec(spec, mesh, batch)
+    scales = P(*full[:4])  # int8-cache scale planes drop the dh axis
+
+    def put(a):
+        ps = full if a.ndim == 5 else scales
+        return jax.device_put(a, NamedSharding(mesh, ps))
+
+    return jax.tree.map(put, kv)
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

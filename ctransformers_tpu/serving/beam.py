@@ -66,9 +66,8 @@ def beam_search(
             jnp.asarray(toks), jnp.asarray(np_vec), kv, jnp.asarray(active)
         )
         pos += size
-    kv = KVCache(
-        jnp.broadcast_to(kv.k[:, :1], kv.k.shape).copy(),
-        jnp.broadcast_to(kv.v[:, :1], kv.v.shape).copy(),
+    kv = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, :1], a.shape).copy(), kv
     )
     n_past[:] = len(prompt)
     logp = np.array(jax.nn.log_softmax(logits[0]))
@@ -112,7 +111,7 @@ def beam_search(
         chosen = cands[:n_beams]
 
         parents = np.array([c[1] for c in chosen], np.int32)
-        kv = KVCache(kv.k[:, parents], kv.v[:, parents])
+        kv = jax.tree.map(lambda a: a[:, parents], kv)
         n_past = n_past[parents]
         new_beams = []
         for score, parent, tok in chosen:

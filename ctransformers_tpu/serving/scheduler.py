@@ -152,9 +152,8 @@ class BatchScheduler:
                     # garbage but positionally masked until overwritten)
                     if self._copy_fn is None:
                         self._copy_fn = jax.jit(
-                            lambda kv, s, d: KVCache(
-                                kv.k.at[:, d].set(kv.k[:, s]),
-                                kv.v.at[:, d].set(kv.v[:, s]),
+                            lambda kv, s, d: jax.tree.map(
+                                lambda a: a.at[:, d].set(a[:, s]), kv
                             ),
                             donate_argnums=(0,),
                         )

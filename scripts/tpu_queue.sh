@@ -31,4 +31,10 @@ timeout 3600 python bench.py || echo "bench auto failed"
 stage "bench batch (layout auto)"
 BENCH_MODE=batch timeout 3600 python bench.py || echo "bench batch failed"
 
+stage "bench batch int8 KV"
+BENCH_MODE=batch BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch int8 failed"
+
+stage "bench single int8 KV"
+BENCH_KV=int8 timeout 3600 python bench.py || echo "bench single int8 failed"
+
 stage "queue done"
