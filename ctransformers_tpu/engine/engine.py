@@ -338,37 +338,62 @@ class Engine:
             "hidden": None if self.hidden is None else np.asarray(self.hidden),
             "kv_dtype": str(np.dtype(jnp.zeros(0, self.kv_dtype).dtype)),
         }
+        # snapshot format is layout-independent: (L, B, n, Hkv, dh) f32
+        # (token-major, what the GGSN session writer consumes)
+        from ..models.forward import kv_head_major
+
         n = self.n_past
-        k = np.asarray(self.kv.k[:, :, :n]).astype(np.float32)
-        v = np.asarray(self.kv.v[:, :, :n]).astype(np.float32)
+        hm = kv_head_major()
+        sl = (
+            (slice(None),) * 3 + (slice(0, n),)
+            if hm
+            else (slice(None), slice(None), slice(0, n))
+        )
+        k = np.asarray(self.kv.k[sl]).astype(np.float32)
+        v = np.asarray(self.kv.v[sl]).astype(np.float32)
         if self.kv.ks is not None:  # int8 cache: dequantize for the snapshot
-            k = k * np.asarray(self.kv.ks[:, :, :n], np.float32)[..., None]
-            v = v * np.asarray(self.kv.vs[:, :, :n], np.float32)[..., None]
+            k = k * np.asarray(self.kv.ks[sl], np.float32)[..., None]
+            v = v * np.asarray(self.kv.vs[sl], np.float32)[..., None]
+        if hm:  # (L, B, Hkv, n, dh) -> (L, B, n, Hkv, dh)
+            k = np.ascontiguousarray(k.transpose(0, 1, 3, 2, 4))
+            v = np.ascontiguousarray(v.transpose(0, 1, 3, 2, 4))
         state["kv_k"] = k
         state["kv_v"] = v
         return state
 
     def load_state(self, state: dict) -> None:
-        n = int(state["n_past"])
-        kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
-        if n and kv.ks is not None:
-            from ..models.forward import kv_quantize
+        from ..models.forward import kv_head_major
 
-            kq, ks = kv_quantize(jnp.asarray(state["kv_k"], jnp.float32))
-            vq, vs = kv_quantize(jnp.asarray(state["kv_v"], jnp.float32))
-            kv = KVCache(
-                kv.k.at[:, :, :n].set(kq),
-                kv.v.at[:, :, :n].set(vq),
-                kv.ks.at[:, :, :n].set(ks),
-                kv.vs.at[:, :, :n].set(vs),
-            )
-        elif n:
-            k = jnp.asarray(state["kv_k"], self.kv_dtype)
-            v = jnp.asarray(state["kv_v"], self.kv_dtype)
-            kv = KVCache(
-                kv.k.at[:, :, :n].set(k),
-                kv.v.at[:, :, :n].set(v),
-            )
+        n = int(state["n_past"])
+        hm = kv_head_major()
+        kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
+        sl = (
+            (slice(None),) * 3 + (slice(0, n),)
+            if hm
+            else (slice(None), slice(None), slice(0, n))
+        )
+        if n:
+            k = jnp.asarray(state["kv_k"], jnp.float32)
+            v = jnp.asarray(state["kv_v"], jnp.float32)
+            if hm:  # canonical (L, B, n, Hkv, dh) -> (L, B, Hkv, n, dh)
+                k = k.transpose(0, 1, 3, 2, 4)
+                v = v.transpose(0, 1, 3, 2, 4)
+            if kv.ks is not None:
+                from ..models.forward import kv_quantize
+
+                kq, ks = kv_quantize(k)
+                vq, vs = kv_quantize(v)
+                kv = KVCache(
+                    kv.k.at[sl].set(kq),
+                    kv.v.at[sl].set(vq),
+                    kv.ks.at[sl].set(ks),
+                    kv.vs.at[sl].set(vs),
+                )
+            else:
+                kv = KVCache(
+                    kv.k.at[sl].set(k.astype(self.kv_dtype)),
+                    kv.v.at[sl].set(v.astype(self.kv_dtype)),
+                )
         self.kv = kv
         self.n_past = n
         self.logits = None if state["logits"] is None else np.array(state["logits"])

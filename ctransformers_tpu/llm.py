@@ -707,7 +707,10 @@ class LLM:
             arrays["logits"] = state["logits"]
         if state["hidden"] is not None:
             arrays["hidden"] = state["hidden"]
-        np.savez_compressed(path, **arrays)
+        # write through a file object: np.savez would otherwise append
+        # ".npz" to the path and load_session(path) would miss the file
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **arrays)
 
     def load_session(self, path: str) -> List[int]:
         """Restores a session; returns the restored token history.

@@ -57,11 +57,26 @@ def _ablate() -> frozenset:
     )
 
 
+def kv_head_major() -> bool:
+    """KV cache storage layout, read at trace/create time from
+    CT_KV_LAYOUT: "hm" (default) stores (L, B, Hkv, S, dh) so every
+    attention read streams a CONTIGUOUS (S, dh) plane per (batch, head) —
+    the einsum's k-side access is sequential in HBM. "sm" keeps the
+    projection-order (L, B, S, Hkv, dh) where per-head reads stride by
+    Hkv*dh (how the reference lays its cache, llama.cpp:913-933). Decode
+    reads outweigh writes ~S:1, so the read-contiguous layout wins; "sm"
+    is kept for hardware A/B."""
+    import os
+
+    return os.environ.get("CT_KV_LAYOUT", "hm") != "sm"
+
+
 class KVCache(NamedTuple):
-    """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh).
+    """Fixed-capacity per-layer cache: k/v are (L, B, Hkv, n_ctx, dh)
+    head-major (default) or (L, B, n_ctx, Hkv, dh) — see kv_head_major().
 
     With dtype=int8 the cache stores symmetric per-(token, head) quantized
-    rows: k/v int8 plus f32 scale planes ks/vs of shape (L, B, n_ctx, Hkv)
+    rows: k/v int8 plus f32 scale planes ks/vs over the same axes minus dh
     (amax/127 per dh-row). Decode is KV-bandwidth-bound at batch>1, so
     halving cache bytes vs bf16 directly cuts the dominant per-step HBM
     read; scales add 1/dh of the original volume (~0.8% at dh=128). The
@@ -70,12 +85,19 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray
     v: jnp.ndarray
-    ks: Optional[jnp.ndarray] = None  # (L, B, n_ctx, Hkv) f32, int8 mode only
+    ks: Optional[jnp.ndarray] = None  # f32 scale planes, int8 mode only
     vs: Optional[jnp.ndarray] = None
 
     @staticmethod
     def create(spec: ArchSpec, batch: int, dtype=jnp.float32) -> "KVCache":
-        shape = (spec.n_layer, batch, spec.n_ctx, spec.kv_heads, spec.head_dim)
+        if kv_head_major():
+            shape = (
+                spec.n_layer, batch, spec.kv_heads, spec.n_ctx, spec.head_dim
+            )
+        else:
+            shape = (
+                spec.n_layer, batch, spec.n_ctx, spec.kv_heads, spec.head_dim
+            )
         import numpy as _np
 
         if _np.dtype(dtype) == _np.int8:
@@ -167,23 +189,30 @@ def _attention(
     # dynamic_update_slice on the donated (L, B, S, H, dh) buffer — never
     # rebuild the cache with jnp.stack (a per-token O(cache) copy)
     quant = kv.ks is not None
+    hm = kv_head_major()
     if "kvwrite" not in ablate:
+        if hm:  # cache (L, B, Hkv, S, dh): transpose the (B,T,Hkv,dh) slab
+            kw, vw = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+            at, ats = (il, 0, 0, n_past, 0), (il, 0, 0, n_past)
+        else:
+            kw, vw = k, v
+            at, ats = (il, 0, n_past, 0, 0), (il, 0, n_past, 0)
         if quant:
-            kq, ksn = kv_quantize(k)
-            vq, vsn = kv_quantize(v)
+            kq, ksn = kv_quantize(kw)
+            vq, vsn = kv_quantize(vw)
             kv = KVCache(
-                jax.lax.dynamic_update_slice(kv.k, kq[None], (il, 0, n_past, 0, 0)),
-                jax.lax.dynamic_update_slice(kv.v, vq[None], (il, 0, n_past, 0, 0)),
-                jax.lax.dynamic_update_slice(kv.ks, ksn[None], (il, 0, n_past, 0)),
-                jax.lax.dynamic_update_slice(kv.vs, vsn[None], (il, 0, n_past, 0)),
+                jax.lax.dynamic_update_slice(kv.k, kq[None], at),
+                jax.lax.dynamic_update_slice(kv.v, vq[None], at),
+                jax.lax.dynamic_update_slice(kv.ks, ksn[None], ats),
+                jax.lax.dynamic_update_slice(kv.vs, vsn[None], ats),
             )
         else:
             kv = KVCache(
                 jax.lax.dynamic_update_slice(
-                    kv.k, k.astype(kv.k.dtype)[None], (il, 0, n_past, 0, 0)
+                    kv.k, kw.astype(kv.k.dtype)[None], at
                 ),
                 jax.lax.dynamic_update_slice(
-                    kv.v, v.astype(kv.v.dtype)[None], (il, 0, n_past, 0, 0)
+                    kv.v, vw.astype(kv.v.dtype)[None], at
                 ),
             )
     if "attnmath" in ablate:
@@ -196,17 +225,23 @@ def _attention(
     v_cache = kv.v[il]
     k_scale = kv.ks[il] if quant else None
     v_scale = kv.vs[il] if quant else None
+    s_axis = 2 if hm else 1
     chunked = _use_chunked_attention(spec, t)
-    if window is not None and window < k_cache.shape[1]:
+    if window is not None and window < k_cache.shape[s_axis]:
         if chunked:  # the chunked path reshapes by its chunk size
             c = _attn_chunk()
-            window = min(-(-window // c) * c, k_cache.shape[1])
-        if window < k_cache.shape[1]:
-            k_cache = k_cache[:, :window]
-            v_cache = v_cache[:, :window]
+            window = min(-(-window // c) * c, k_cache.shape[s_axis])
+        if window < k_cache.shape[s_axis]:
+            sl = (
+                (slice(None), slice(None), slice(0, window))
+                if hm
+                else (slice(None), slice(0, window))
+            )
+            k_cache = k_cache[sl]
+            v_cache = v_cache[sl]
             if quant:
-                k_scale = k_scale[:, :window]
-                v_scale = v_scale[:, :window]
+                k_scale = k_scale[sl]
+                v_scale = v_scale[sl]
 
     if chunked:
         ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale, v_scale)
@@ -266,30 +301,36 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
     given) the per-token scales factor OUT of both dots: scores multiply by
     k_scale[s] after the QK dot, and v_scale[s] folds into the probs before
     the PV dot — the dots read raw int8 (converted in-register), never a
-    dequantized cache copy."""
+    dequantized cache copy. Handles both cache layouts (kv_head_major)."""
     b, t = q.shape[:2]
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
     kf, vf = k_cache, v_cache
     quant = k_scale is not None
+    hm = kv_head_major()
     cdt = jnp.bfloat16 if quant else kf.dtype
+    head_axis = 1 if hm else 2
     if hkv != h:
         rep = h // hkv
-        kf = jnp.repeat(kf, rep, axis=2)
-        vf = jnp.repeat(vf, rep, axis=2)
+        kf = jnp.repeat(kf, rep, axis=head_axis)
+        vf = jnp.repeat(vf, rep, axis=head_axis)
         if quant:
-            k_scale = jnp.repeat(k_scale, rep, axis=2)
-            v_scale = jnp.repeat(v_scale, rep, axis=2)
+            k_scale = jnp.repeat(k_scale, rep, axis=head_axis)
+            v_scale = jnp.repeat(v_scale, rep, axis=head_axis)
 
-    s = k_cache.shape[1]  # may be a static window < n_ctx
+    s = k_cache.shape[2 if hm else 1]  # may be a static window < n_ctx
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     scores = jnp.einsum(
-        "bthd,bshd->bhts",
+        "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
         q.astype(cdt),
         kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
-    if quant:  # (B, S, H) -> (B, H, 1, S)
-        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, :]
+
+    def _sb(sc):  # scale plane -> (B, H, 1, S) broadcast
+        return (sc if hm else sc.transpose(0, 2, 1))[:, :, None, :]
+
+    if quant:
+        scores = scores * _sb(k_scale)
 
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
@@ -301,9 +342,9 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
 
     probs = jax.nn.softmax(scores, axis=-1)
     if quant:
-        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
+        probs = probs * _sb(v_scale)
     return jnp.einsum(
-        "bhts,bshd->bthd",
+        "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
         probs.astype(cdt),
         vf.astype(cdt),
         preferred_element_type=jnp.float32,
@@ -319,18 +360,26 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=Non
     b, t = q.shape[:2]
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
     c = _attn_chunk()
-    n_chunks = k_cache.shape[1] // c  # cache may be a static window
     quant = k_scale is not None
+    hm = kv_head_major()
+    n_chunks = k_cache.shape[2 if hm else 1] // c  # cache may be a window
     cdt = jnp.bfloat16 if quant else k_cache.dtype
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
 
-    kc = k_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
-    vc = v_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
-    if quant:
-        ksc = k_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
-        vsc = v_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
-    else:
+    if hm:  # (B, Hkv, S, dh) -> (n_chunks, B, Hkv, c, dh)
+        kc = k_cache.reshape(b, hkv, n_chunks, c, dh).transpose(2, 0, 1, 3, 4)
+        vc = v_cache.reshape(b, hkv, n_chunks, c, dh).transpose(2, 0, 1, 3, 4)
+        if quant:
+            ksc = k_scale.reshape(b, hkv, n_chunks, c).transpose(2, 0, 1, 3)
+            vsc = v_scale.reshape(b, hkv, n_chunks, c).transpose(2, 0, 1, 3)
+    else:  # (B, S, Hkv, dh) -> (n_chunks, B, c, Hkv, dh)
+        kc = k_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
+        vc = v_cache.reshape(b, n_chunks, c, hkv, dh).transpose(1, 0, 2, 3, 4)
+        if quant:
+            ksc = k_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
+            vsc = v_scale.reshape(b, n_chunks, c, hkv).transpose(1, 0, 2, 3)
+    if not quant:
         ksc = vsc = jnp.zeros((n_chunks, 0))
     qf = q.astype(cdt)
     qpos = n_past + jnp.arange(t)[:, None]  # (T, 1)
@@ -340,22 +389,25 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=Non
 
         slopes = jnp.asarray(alibi_slopes(h, spec.alibi_bias_max))
 
+    head_axis = 1 if hm else 2
+
     def body(carry, chunk):
         m, l, acc, idx = carry
-        k_c, v_c, ks_c, vs_c = chunk  # (B, c, Hkv, dh), scales (B, c, Hkv)
+        k_c, v_c, ks_c, vs_c = chunk  # hm: (B, Hkv, c, dh) else (B, c, Hkv, dh)
         if hkv != h:
             rep = h // hkv
-            k_c = jnp.repeat(k_c, rep, axis=2)
-            v_c = jnp.repeat(v_c, rep, axis=2)
+            k_c = jnp.repeat(k_c, rep, axis=head_axis)
+            v_c = jnp.repeat(v_c, rep, axis=head_axis)
             if quant:
-                ks_c = jnp.repeat(ks_c, rep, axis=2)
-                vs_c = jnp.repeat(vs_c, rep, axis=2)
+                ks_c = jnp.repeat(ks_c, rep, axis=head_axis)
+                vs_c = jnp.repeat(vs_c, rep, axis=head_axis)
         s_c = jnp.einsum(
-            "bthd,bshd->bhts", qf, k_c.astype(cdt),
+            "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
+            qf, k_c.astype(cdt),
             preferred_element_type=jnp.float32,
         ) * scale  # (B, H, T, c)
-        if quant:  # (B, c, H) -> (B, H, 1, c)
-            s_c = s_c * ks_c.transpose(0, 2, 1)[:, :, None, :]
+        if quant:  # scale plane -> (B, H, 1, c)
+            s_c = s_c * (ks_c if hm else ks_c.transpose(0, 2, 1))[:, :, None, :]
         kpos = idx * c + jnp.arange(c)[None, :]  # (1, c)
         if slopes is not None:
             s_c = s_c + slopes[None, :, None, None] * kpos[None, None, :, :].astype(jnp.float32).reshape(1, 1, 1, c)
@@ -368,9 +420,12 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=Non
         alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
         p = jnp.exp(s_c - m_safe[..., None])  # (B, H, T, c)
         l = l * alpha + p.sum(axis=-1)
-        pv_in = p * vs_c.transpose(0, 2, 1)[:, :, None, :] if quant else p
+        if quant:
+            pv_in = p * (vs_c if hm else vs_c.transpose(0, 2, 1))[:, :, None, :]
+        else:
+            pv_in = p
         pv = jnp.einsum(
-            "bhts,bshd->bthd",
+            "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
             pv_in.astype(cdt),
             v_c.astype(cdt),
             preferred_element_type=jnp.float32,
@@ -526,23 +581,34 @@ def _attention_batched(
     # L-way stack) was real work. Removed 2026-08-17.
     ablate = _ablate()
     quant = kv.ks is not None
+    hm = kv_head_major()
     if "kvwrite" not in ablate:
-        bidx = jnp.arange(b)[:, None]  # (B, 1)
         wpos = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
         wpos = jnp.where(active[:, None], wpos, spec.n_ctx)
+        if hm:  # scatter (B, Hkv, T, dh) slabs at per-slot positions
+            kw, vw = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+            idx = (
+                il,
+                jnp.arange(b)[:, None, None],
+                jnp.arange(hkv)[None, :, None],
+                wpos[:, None, :],
+            )
+        else:
+            kw, vw = k, v
+            idx = (il, jnp.arange(b)[:, None], wpos)
         if quant:
-            kq, ksn = kv_quantize(k)
-            vq, vsn = kv_quantize(v)
+            kq, ksn = kv_quantize(kw)
+            vq, vsn = kv_quantize(vw)
             kv = KVCache(
-                kv.k.at[il, bidx, wpos].set(kq, mode="drop"),
-                kv.v.at[il, bidx, wpos].set(vq, mode="drop"),
-                kv.ks.at[il, bidx, wpos].set(ksn, mode="drop"),
-                kv.vs.at[il, bidx, wpos].set(vsn, mode="drop"),
+                kv.k.at[idx].set(kq, mode="drop"),
+                kv.v.at[idx].set(vq, mode="drop"),
+                kv.ks.at[idx].set(ksn, mode="drop"),
+                kv.vs.at[idx].set(vsn, mode="drop"),
             )
         else:
             kv = KVCache(
-                kv.k.at[il, bidx, wpos].set(k.astype(kv.k.dtype), mode="drop"),
-                kv.v.at[il, bidx, wpos].set(v.astype(kv.v.dtype), mode="drop"),
+                kv.k.at[idx].set(kw.astype(kv.k.dtype), mode="drop"),
+                kv.v.at[idx].set(vw.astype(kv.v.dtype), mode="drop"),
             )
 
     if "attnmath" in ablate:
@@ -555,29 +621,39 @@ def _attention_batched(
     kf, vf = kv.k[il], kv.v[il]
     ksf = kv.ks[il] if quant else None
     vsf = kv.vs[il] if quant else None
-    if window is not None and window < kf.shape[1]:
-        kf = kf[:, :window]
-        vf = vf[:, :window]
+    s_axis = 2 if hm else 1
+    if window is not None and window < kf.shape[s_axis]:
+        sl = (
+            (slice(None), slice(None), slice(0, window))
+            if hm
+            else (slice(None), slice(0, window))
+        )
+        kf, vf = kf[sl], vf[sl]
         if quant:
-            ksf = ksf[:, :window]
-            vsf = vsf[:, :window]
-    s = kf.shape[1]
+            ksf, vsf = ksf[sl], vsf[sl]
+    s = kf.shape[s_axis]
     cdt = jnp.bfloat16 if quant else kf.dtype
     if hkv != h:
         rep = h // hkv
-        kf = jnp.repeat(kf, rep, axis=2)
-        vf = jnp.repeat(vf, rep, axis=2)
+        head_axis = 1 if hm else 2
+        kf = jnp.repeat(kf, rep, axis=head_axis)
+        vf = jnp.repeat(vf, rep, axis=head_axis)
         if quant:
-            ksf = jnp.repeat(ksf, rep, axis=2)
-            vsf = jnp.repeat(vsf, rep, axis=2)
+            ksf = jnp.repeat(ksf, rep, axis=head_axis)
+            vsf = jnp.repeat(vsf, rep, axis=head_axis)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(cdt), kf.astype(cdt),
+        "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
+        q.astype(cdt), kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
-    if quant:  # (B, S, H) -> (B, H, 1, S)
-        scores = scores * ksf.transpose(0, 2, 1)[:, :, None, :]
+
+    def _sb(sc):  # scale plane -> (B, H, 1, S) broadcast
+        return (sc if hm else sc.transpose(0, 2, 1))[:, :, None, :]
+
+    if quant:
+        scores = scores * _sb(ksf)
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
 
@@ -588,9 +664,10 @@ def _attention_batched(
 
     probs = jax.nn.softmax(scores, axis=-1)
     if quant:
-        probs = probs * vsf.transpose(0, 2, 1)[:, :, None, :]
+        probs = probs * _sb(vsf)
     ctx = jnp.einsum(
-        "bhts,bshd->bthd", probs.astype(cdt), vf.astype(cdt),
+        "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
+        probs.astype(cdt), vf.astype(cdt),
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32).reshape(b, t, h * dh)
     out = mm(ctx, layer["wo"])

@@ -175,12 +175,17 @@ def _shard_qtensor(qt, mesh: Mesh, tp: int, spec: P):
 
 
 def kv_pspec(spec: ArchSpec, mesh: Mesh, batch: int = 0) -> P:
-    """KV cache (L, B, n_ctx, Hkv, dh): batch on data, kv heads on model —
-    each only when it divides evenly."""
+    """KV cache: batch on data, kv heads on model — each only when it
+    divides evenly. Axis order follows the storage layout (kv_head_major):
+    (L, B, Hkv, S, dh) head-major or (L, B, S, Hkv, dh) sequence-major."""
+    from ..models.forward import kv_head_major
+
     data = DATA_AXIS if batch and batch % mesh.shape[DATA_AXIS] == 0 else None
     model = (
         MODEL_AXIS if spec.kv_heads % mesh.shape[MODEL_AXIS] == 0 else None
     )
+    if kv_head_major():
+        return P(None, data, model, None, None)
     return P(None, data, None, model, None)
 
 

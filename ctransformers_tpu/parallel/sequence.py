@@ -243,25 +243,33 @@ def prefill_sp(
     if params.get("lm_head_b") is not None:
         logits = logits + params["lm_head_b"]
 
+    from ..models.forward import kv_head_major
+
     kv = KVCache.create(spec, b, kv_dtype)
+    if kv_head_major():  # blocks are (L, B, T, Hkv, dh) token-major
+        k_blocks = k_blocks.transpose(0, 1, 3, 2, 4)
+        v_blocks = v_blocks.transpose(0, 1, 3, 2, 4)
+        at, ats = (0, 0, 0, n_past, 0), (0, 0, 0, n_past)
+    else:
+        at, ats = (0, 0, n_past, 0, 0), (0, 0, n_past, 0)
     if kv.ks is not None:
         from ..models.forward import kv_quantize
 
         kq, ksc = kv_quantize(k_blocks)
         vq, vsc = kv_quantize(v_blocks)
         kv = KVCache(
-            jax.lax.dynamic_update_slice(kv.k, kq, (0, 0, n_past, 0, 0)),
-            jax.lax.dynamic_update_slice(kv.v, vq, (0, 0, n_past, 0, 0)),
-            jax.lax.dynamic_update_slice(kv.ks, ksc, (0, 0, n_past, 0)),
-            jax.lax.dynamic_update_slice(kv.vs, vsc, (0, 0, n_past, 0)),
+            jax.lax.dynamic_update_slice(kv.k, kq, at),
+            jax.lax.dynamic_update_slice(kv.v, vq, at),
+            jax.lax.dynamic_update_slice(kv.ks, ksc, ats),
+            jax.lax.dynamic_update_slice(kv.vs, vsc, ats),
         )
     else:
         kv = KVCache(
             jax.lax.dynamic_update_slice(
-                kv.k, k_blocks.astype(kv.k.dtype), (0, 0, n_past, 0, 0)
+                kv.k, k_blocks.astype(kv.k.dtype), at
             ),
             jax.lax.dynamic_update_slice(
-                kv.v, v_blocks.astype(kv.v.dtype), (0, 0, n_past, 0, 0)
+                kv.v, v_blocks.astype(kv.v.dtype), at
             ),
         )
     return logits, last, kv

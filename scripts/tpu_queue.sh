@@ -37,4 +37,10 @@ BENCH_MODE=batch BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch
 stage "bench single int8 KV"
 BENCH_KV=int8 timeout 3600 python bench.py || echo "bench single int8 failed"
 
+stage "bench batch seq-major KV layout (A/B control)"
+BENCH_MODE=batch CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench batch sm failed"
+
+stage "bench single seq-major KV layout (A/B control)"
+CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench single sm failed"
+
 stage "queue done"
