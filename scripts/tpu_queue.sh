@@ -43,4 +43,13 @@ BENCH_MODE=batch CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench bat
 stage "bench single seq-major KV layout (A/B control)"
 CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench single sm failed"
 
+stage "bench single pallas attention kernel"
+CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench attnkernel failed"
+
+stage "bench batch pallas attention kernel"
+BENCH_MODE=batch CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench batch attnkernel failed"
+
+stage "bench batch pallas attention kernel + int8 KV"
+BENCH_MODE=batch CT_ATTN_KERNEL=1 BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch attnkernel int8 failed"
+
 stage "queue done"
