@@ -27,9 +27,11 @@ def _kv_dtype():
     the dominant batched-decode cost (see tests/test_kv_int8.py)."""
     import jax.numpy as jnp
 
-    return {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}[
-        os.environ.get("BENCH_KV", "bf16")
-    ]
+    kinds = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}
+    name = os.environ.get("BENCH_KV", "bf16")
+    if name not in kinds:
+        raise SystemExit(f"BENCH_KV={name!r}: expected one of {sorted(kinds)}")
+    return kinds[name]
 
 
 def main():

@@ -340,15 +340,11 @@ class Engine:
         }
         # snapshot format is layout-independent: (L, B, n, Hkv, dh) f32
         # (token-major, what the GGSN session writer consumes)
-        from ..models.forward import kv_head_major
+        from ..models.forward import kv_head_major, kv_state_slice
 
         n = self.n_past
         hm = kv_head_major()
-        sl = (
-            (slice(None),) * 3 + (slice(0, n),)
-            if hm
-            else (slice(None), slice(None), slice(0, n))
-        )
+        sl = kv_state_slice(n)
         k = np.asarray(self.kv.k[sl]).astype(np.float32)
         v = np.asarray(self.kv.v[sl]).astype(np.float32)
         if self.kv.ks is not None:  # int8 cache: dequantize for the snapshot
@@ -362,16 +358,12 @@ class Engine:
         return state
 
     def load_state(self, state: dict) -> None:
-        from ..models.forward import kv_head_major
+        from ..models.forward import kv_head_major, kv_state_slice
 
         n = int(state["n_past"])
         hm = kv_head_major()
         kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
-        sl = (
-            (slice(None),) * 3 + (slice(0, n),)
-            if hm
-            else (slice(None), slice(None), slice(0, n))
-        )
+        sl = kv_state_slice(n)
         if n:
             k = jnp.asarray(state["kv_k"], jnp.float32)
             v = jnp.asarray(state["kv_v"], jnp.float32)

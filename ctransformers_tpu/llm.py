@@ -171,11 +171,17 @@ class LLM:
         import jax.numpy as _jnp
 
         kd = getattr(self, "_kv_dtype", None) or _os.environ.get("CT_KV_DTYPE")
-        kv_dtype = {
+        kv_dtypes = {
             None: _jnp.float32, "f32": _jnp.float32,
             "bf16": _jnp.bfloat16, "f16": _jnp.bfloat16,
             "int8": _jnp.int8,
-        }[kd]
+        }
+        if kd not in kv_dtypes:
+            raise ValueError(
+                f"unknown kv_dtype {kd!r}; expected one of "
+                "'f32', 'bf16', 'f16', 'int8'"
+            )
+        kv_dtype = kv_dtypes[kd]
         self._engine = Engine(bundle.spec, bundle.params, kv_dtype=kv_dtype)
         self._sample_fn = (
             samplers.sample_llama

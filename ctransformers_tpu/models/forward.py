@@ -141,17 +141,17 @@ def _act(spec: ArchSpec, layer: Params, h):
     return jax.nn.gelu(up, approximate=True)
 
 
-def _attention(
+def project_qkv(
     spec: ArchSpec,
     layer: Params,
     x: jnp.ndarray,  # (B, T, D) normed input
-    n_past: jnp.ndarray,  # scalar int32
-    kv: "KVCache",  # full stacked cache (L, B, n_ctx, Hkv, dh)
-    il: int,
-    angles: Optional[jnp.ndarray],  # (T, dh//2) rope angles or None
-    window: Optional[int] = None,  # static live-context bound (see round_window)
-) -> Tuple[jnp.ndarray, "KVCache"]:
-    b, t, d = x.shape
+    angles: Optional[jnp.ndarray],
+    batched: bool = False,  # angles are (B, T, ...) per-slot
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared QKV projection: fused/split matmuls, biases, clip_qkv, head
+    reshape, rope. Used by both attention paths and the sequence-parallel
+    prefill — one implementation of the per-arch projection semantics."""
+    b, t, _ = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
 
     if "w_qkv" in layer:  # engine-fused projections (one kernel call)
@@ -178,11 +178,74 @@ def _attention(
     v = v.reshape(b, t, hkv, dh)
 
     if spec.rope_mode == "interleaved":
-        q = apply_rope_interleaved(q, angles)
-        k = apply_rope_interleaved(k, angles)
+        rope = _rope_i_b if batched else apply_rope_interleaved
+        q = rope(q, angles)
+        k = rope(k, angles)
     elif spec.rope_mode == "neox":
-        q = apply_rope_neox(q, angles, spec.n_rot)
-        k = apply_rope_neox(k, angles, spec.n_rot)
+        rope = _rope_n_b if batched else apply_rope_neox
+        q = rope(q, angles, spec.n_rot)
+        k = rope(k, angles, spec.n_rot)
+    return q, k, v
+
+
+def block_ffn(spec: ArchSpec, layer: Params, x, ln1, attn_out, ablate=frozenset()):
+    """Shared residual + MLP tail of one transformer block."""
+    if spec.parallel_residual:
+        # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
+        if spec.shared_parallel_ln or "ln2_g" not in layer:
+            mlp_in = ln1
+        else:
+            mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+        ff = mlp_in if "mlp" in ablate else mm(
+            _act(spec, layer, mlp_in), layer["w_down"]
+        )
+        if layer.get("b_down") is not None:
+            ff = ff + layer["b_down"]
+        return x + attn_out + ff
+    x = x + attn_out
+    ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
+    ff = ln2 if "mlp" in ablate else mm(
+        _act(spec, layer, ln2), layer["w_down"]
+    )
+    if layer.get("b_down") is not None:
+        ff = ff + layer["b_down"]
+    return x + ff
+
+
+def _seq_slice(hm: bool, upto: int):
+    """Index tuple bounding a per-layer cache slab to its first `upto`
+    sequence positions under either layout."""
+    if hm:
+        return (slice(None), slice(None), slice(0, upto))
+    return (slice(None), slice(0, upto))
+
+
+def _scale_bcast(hm: bool, sc):
+    """Scale plane -> (B, H, 1, S) broadcast against (B, H, T, S) scores."""
+    return (sc if hm else sc.transpose(0, 2, 1))[:, :, None, :]
+
+
+def kv_state_slice(n: int):
+    """Index tuple for the first n live positions of the FULL stacked
+    cache (used by engine state snapshots) under the current layout."""
+    if kv_head_major():
+        return (slice(None),) * 3 + (slice(0, n),)
+    return (slice(None), slice(None), slice(0, n))
+
+
+def _attention(
+    spec: ArchSpec,
+    layer: Params,
+    x: jnp.ndarray,  # (B, T, D) normed input
+    n_past: jnp.ndarray,  # scalar int32
+    kv: "KVCache",  # full stacked cache (L, B, n_ctx, Hkv, dh)
+    il: int,
+    angles: Optional[jnp.ndarray],  # (T, dh//2) rope angles or None
+    window: Optional[int] = None,  # static live-context bound (see round_window)
+) -> Tuple[jnp.ndarray, "KVCache"]:
+    b, t, d = x.shape
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+    q, k, v = project_qkv(spec, layer, x, angles)
 
     ablate = _ablate()
     # append to the FULL stacked cache at (layer, n_past): an in-place
@@ -240,11 +303,7 @@ def _attention(
             c = _attn_chunk()
             window = min(-(-window // c) * c, k_cache.shape[s_axis])
         if window < k_cache.shape[s_axis]:
-            sl = (
-                (slice(None), slice(None), slice(0, window))
-                if hm
-                else (slice(None), slice(0, window))
-            )
+            sl = _seq_slice(hm, window)
             k_cache = k_cache[sl]
             v_cache = v_cache[sl]
             if quant:
@@ -377,12 +436,8 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
         kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
-
-    def _sb(sc):  # scale plane -> (B, H, 1, S) broadcast
-        return (sc if hm else sc.transpose(0, 2, 1))[:, :, None, :]
-
     if quant:
-        scores = scores * _sb(k_scale)
+        scores = scores * _scale_bcast(hm, k_scale)
 
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
@@ -394,7 +449,7 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
 
     probs = jax.nn.softmax(scores, axis=-1)
     if quant:
-        probs = probs * _sb(v_scale)
+        probs = probs * _scale_bcast(hm, v_scale)
     return jnp.einsum(
         "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
         probs.astype(cdt),
@@ -535,27 +590,7 @@ def forward(
                 spec, layer, ln1, n_past, kv, il, angles, attn_window
             )
 
-        if spec.parallel_residual:
-            # gptj.cc:554-558 / falcon: x + attn(ln(x)) + mlp(ln(x))
-            if spec.shared_parallel_ln or "ln2_g" not in layer:
-                mlp_in = ln1
-            else:
-                mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mlp_in if "mlp" in ablate else mm(
-                _act(spec, layer, mlp_in), layer["w_down"]
-            )
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + attn_out + ff
-        else:
-            x = x + attn_out
-            ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = ln2 if "mlp" in ablate else mm(
-                _act(spec, layer, ln2), layer["w_down"]
-            )
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + ff
+        x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
@@ -591,36 +626,7 @@ def _attention_batched(
 ):
     b, t, d = x.shape
     h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
-
-    if "w_qkv" in layer:  # engine-fused projections
-        from ..ops.qmatmul import split_fused
-
-        q, k, v = split_fused(mm(x, layer["w_qkv"]), layer["w_qkv"])
-    else:
-        q = mm(x, layer["wq"])
-        k = mm(x, layer["wk"])
-        v = mm(x, layer["wv"])
-    if layer.get("bq") is not None:
-        q = q + layer["bq"]
-    if layer.get("bk") is not None:
-        k = k + layer["bk"]
-    if layer.get("bv") is not None:
-        v = v + layer["bv"]
-    if spec.clip_qkv > 0:
-        q = jnp.clip(q, -spec.clip_qkv, spec.clip_qkv)
-        k = jnp.clip(k, -spec.clip_qkv, spec.clip_qkv)
-        v = jnp.clip(v, -spec.clip_qkv, spec.clip_qkv)
-
-    q = q.reshape(b, t, h, dh)
-    k = k.reshape(b, t, hkv, dh)
-    v = v.reshape(b, t, hkv, dh)
-
-    if spec.rope_mode == "interleaved":
-        q = _rope_i_b(q, angles)
-        k = _rope_i_b(k, angles)
-    elif spec.rope_mode == "neox":
-        q = _rope_n_b(q, angles, spec.n_rot)
-        k = _rope_n_b(k, angles, spec.n_rot)
+    q, k, v = project_qkv(spec, layer, x, angles, batched=True)
 
     # per-slot cache write as an in-place scatter on the donated FULL
     # (L, B, S, Hkv, dh) buffer — never rebuild the cache with jnp.stack
@@ -682,11 +688,7 @@ def _attention_batched(
     vsf = kv.vs[il] if quant else None
     s_axis = 2 if hm else 1
     if window is not None and window < kf.shape[s_axis]:
-        sl = (
-            (slice(None), slice(None), slice(0, window))
-            if hm
-            else (slice(None), slice(0, window))
-        )
+        sl = _seq_slice(hm, window)
         kf, vf = kf[sl], vf[sl]
         if quant:
             ksf, vsf = ksf[sl], vsf[sl]
@@ -707,12 +709,8 @@ def _attention_batched(
         q.astype(cdt), kf.astype(cdt),
         preferred_element_type=jnp.float32,
     ) * scale
-
-    def _sb(sc):  # scale plane -> (B, H, 1, S) broadcast
-        return (sc if hm else sc.transpose(0, 2, 1))[:, :, None, :]
-
     if quant:
-        scores = scores * _sb(ksf)
+        scores = scores * _scale_bcast(hm, ksf)
     if spec.alibi_bias_max > 0:
         scores = scores + alibi_bias(h, spec.alibi_bias_max, s)[None]
 
@@ -723,7 +721,7 @@ def _attention_batched(
 
     probs = jax.nn.softmax(scores, axis=-1)
     if quant:
-        probs = probs * _sb(vsf)
+        probs = probs * _scale_bcast(hm, vsf)
     ctx = jnp.einsum(
         "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
         probs.astype(cdt), vf.astype(cdt),
@@ -806,26 +804,7 @@ def forward_batched(
                 spec, layer, ln1, n_past, kv, il, angles, active,
                 attn_window,
             )
-        if spec.parallel_residual:
-            if spec.shared_parallel_ln or "ln2_g" not in layer:
-                mlp_in = ln1
-            else:
-                mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mlp_in if "mlp" in ablate else mm(
-                _act(spec, layer, mlp_in), layer["w_down"]
-            )
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + attn_out + ff
-        else:
-            x = x + attn_out
-            ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = ln2 if "mlp" in ablate else mm(
-                _act(spec, layer, ln2), layer["w_down"]
-            )
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + ff
+        x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))

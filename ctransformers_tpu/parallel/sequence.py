@@ -36,7 +36,7 @@ from ..models.forward import KVCache
 from ..models.spec import ArchSpec
 from ..ops.norm import layer_norm, rms_norm
 from ..ops.qmatmul import matmul as mm
-from ..ops.rope import apply_rope_interleaved, apply_rope_neox, rope_angles
+from ..ops.rope import rope_angles
 from .mesh import MODEL_AXIS
 
 SEQ_AXIS = MODEL_AXIS  # the ring reuses the mesh's model axis
@@ -92,8 +92,10 @@ def ring_attention(
         alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, -jnp.inf))
         pr = jnp.exp(s_c - m_safe[..., None])
         l = l * alpha + pr.sum(axis=-1)
+        # operands stay in the input dtype (bf16 on TPU), f32 accumulation
+        # — same numerics class as forward._chunked_scores
         acc = acc * alpha.transpose(0, 2, 1)[..., None] + jnp.einsum(
-            "bhts,bshd->bthd", pr, v_b.astype(jnp.float32),
+            "bhts,bshd->bthd", pr.astype(v_b.dtype), v_b,
             preferred_element_type=jnp.float32,
         )
         m = m_new
@@ -111,14 +113,18 @@ def _norm(spec, x, g, b):
     return layer_norm(x, g, b, spec.norm_eps)
 
 
-def _forward_sp_local(spec: ArchSpec, params, tokens, n_past, n_ring: int):
+def _forward_sp_local(spec: ArchSpec, params, tokens, n_ring: int):
     """Per-shard body (runs inside shard_map): full-model forward over the
-    local sequence block with ring attention. Returns (hidden (B, Tl, D),
-    k/v blocks (L, B, Tl, Hkv, dh))."""
+    local sequence block with ring attention, reusing forward.py's shared
+    projection and residual/MLP helpers (one implementation of the
+    per-arch layer semantics). Returns (hidden (B, Tl, D), k/v blocks
+    (L, B, Tl, Hkv, dh))."""
+    from ..models.forward import block_ffn, project_qkv
+
     b, tl = tokens.shape
-    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+    h, dh = spec.n_head, spec.head_dim
     p = jax.lax.axis_index(SEQ_AXIS)
-    block0 = n_past + p * tl
+    block0 = p * tl
     positions = block0 + jnp.arange(tl)
 
     x = params["wte"][tokens]
@@ -139,62 +145,17 @@ def _forward_sp_local(spec: ArchSpec, params, tokens, n_past, n_ring: int):
     ks, vs = [], []
     for layer in params["layers"]:
         ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        if "w_qkv" in layer:
-            from ..ops.qmatmul import split_fused
-
-            q, k, v = split_fused(mm(ln1, layer["w_qkv"]), layer["w_qkv"])
-        else:
-            q = mm(ln1, layer["wq"])
-            k = mm(ln1, layer["wk"])
-            v = mm(ln1, layer["wv"])
-        if layer.get("bq") is not None:
-            q = q + layer["bq"]
-        if layer.get("bk") is not None:
-            k = k + layer["bk"]
-        if layer.get("bv") is not None:
-            v = v + layer["bv"]
-        if spec.clip_qkv > 0:
-            q = jnp.clip(q, -spec.clip_qkv, spec.clip_qkv)
-            k = jnp.clip(k, -spec.clip_qkv, spec.clip_qkv)
-            v = jnp.clip(v, -spec.clip_qkv, spec.clip_qkv)
-        q = q.reshape(b, tl, h, dh)
-        k = k.reshape(b, tl, hkv, dh)
-        v = v.reshape(b, tl, hkv, dh)
-        if spec.rope_mode == "interleaved":
-            q = apply_rope_interleaved(q, angles)
-            k = apply_rope_interleaved(k, angles)
-        elif spec.rope_mode == "neox":
-            q = apply_rope_neox(q, angles, spec.n_rot)
-            k = apply_rope_neox(k, angles, spec.n_rot)
+        q, k, v = project_qkv(spec, layer, ln1, angles)
         ks.append(k)
         vs.append(v)
 
         ctx = ring_attention(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), block0, n_ring, alibi_slopes=slopes,
+            q, k, v, block0, n_ring, alibi_slopes=slopes
         ).reshape(b, tl, h * dh)
         attn_out = mm(ctx, layer["wo"])
         if layer.get("bo") is not None:
             attn_out = attn_out + layer["bo"]
-
-        from ..models.forward import _act
-
-        if spec.parallel_residual:
-            if spec.shared_parallel_ln or "ln2_g" not in layer:
-                mlp_in = ln1
-            else:
-                mlp_in = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, mlp_in), layer["w_down"])
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + attn_out + ff
-        else:
-            x = x + attn_out
-            ln2 = _norm(spec, x, layer["ln2_g"], layer.get("ln2_b"))
-            ff = mm(_act(spec, layer, ln2), layer["w_down"])
-            if layer.get("b_down") is not None:
-                ff = ff + layer["b_down"]
-            x = x + ff
+        x = block_ffn(spec, layer, x, ln1, attn_out)
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
@@ -206,24 +167,27 @@ def prefill_sp(
     params,
     tokens: jnp.ndarray,  # (B, T), T divisible by the ring size
     mesh,
-    n_past: int = 0,
     kv_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
-    """Sequence-parallel prefill: returns (last-token logits (B, V), last
-    hidden (B, D), KVCache holding positions [n_past, n_past+T)).
+    """Sequence-parallel prefill of a FRESH prompt: returns (last-token
+    logits (B, V), last hidden (B, D), KVCache holding positions [0, T)).
 
     Weights stay replicated over the ring axis; only KV blocks move (one
     neighbor hop per ring step). The returned cache feeds the normal
-    decode path (Engine/forward)."""
+    decode path (Engine/forward). Continuing an existing prefix is not
+    supported — ring keys are the prompt's own blocks only, so a nonzero
+    start offset would need the resident cache as extra ring members."""
     b, t = tokens.shape
     n_ring = int(mesh.shape[SEQ_AXIS])
     if t % n_ring != 0:
         raise ValueError(f"prompt length {t} not divisible by ring={n_ring}")
+    if t > spec.n_ctx:
+        raise ValueError(f"prompt length {t} exceeds context {spec.n_ctx}")
 
     pspecs = jax.tree.map(lambda _: P(), params)
 
     def local(params, toks):
-        return _forward_sp_local(spec, params, toks, jnp.int32(n_past), n_ring)
+        return _forward_sp_local(spec, params, toks, n_ring)
 
     hidden, k_blocks, v_blocks = shard_map(
         local,
@@ -249,9 +213,8 @@ def prefill_sp(
     if kv_head_major():  # blocks are (L, B, T, Hkv, dh) token-major
         k_blocks = k_blocks.transpose(0, 1, 3, 2, 4)
         v_blocks = v_blocks.transpose(0, 1, 3, 2, 4)
-        at, ats = (0, 0, 0, n_past, 0), (0, 0, 0, n_past)
-    else:
-        at, ats = (0, 0, n_past, 0, 0), (0, 0, n_past, 0)
+    at = (0, 0, 0, 0, 0)
+    ats = (0, 0, 0, 0)
     if kv.ks is not None:
         from ..models.forward import kv_quantize
 

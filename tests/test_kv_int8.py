@@ -66,17 +66,15 @@ def test_forward_int8_close_to_f32():
 
 def test_forward_int8_chunked_matches_full():
     tokens = list(range(1, 40))
-    os.environ["CT_ATTN"] = "chunked"
-    os.environ["CT_ATTN_CHUNK"] = "32"
     try:
+        os.environ["CT_ATTN"] = "chunked"
+        os.environ["CT_ATTN_CHUNK"] = "32"
         chunked = _run(jnp.int8, tokens, steps=2)
-    finally:
         os.environ["CT_ATTN"] = "full"
-    try:
         full = _run(jnp.int8, tokens, steps=2)
     finally:
-        del os.environ["CT_ATTN"]
-        del os.environ["CT_ATTN_CHUNK"]
+        os.environ.pop("CT_ATTN", None)
+        os.environ.pop("CT_ATTN_CHUNK", None)
     # same quantized cache, two attention algorithms: tight agreement
     np.testing.assert_allclose(chunked, full, atol=2e-4, rtol=2e-4)
 
