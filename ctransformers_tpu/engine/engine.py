@@ -340,36 +340,28 @@ class Engine:
         }
         # snapshot format is layout-independent: (L, B, n, Hkv, dh) f32
         # (token-major, what the GGSN session writer consumes)
-        from ..models.forward import kv_head_major, kv_state_slice
+        from ..models.forward import kv_state_slice, kv_to_canonical
 
         n = self.n_past
-        hm = kv_head_major()
         sl = kv_state_slice(n)
         k = np.asarray(self.kv.k[sl]).astype(np.float32)
         v = np.asarray(self.kv.v[sl]).astype(np.float32)
         if self.kv.ks is not None:  # int8 cache: dequantize for the snapshot
             k = k * np.asarray(self.kv.ks[sl], np.float32)[..., None]
             v = v * np.asarray(self.kv.vs[sl], np.float32)[..., None]
-        if hm:  # (L, B, Hkv, n, dh) -> (L, B, n, Hkv, dh)
-            k = np.ascontiguousarray(k.transpose(0, 1, 3, 2, 4))
-            v = np.ascontiguousarray(v.transpose(0, 1, 3, 2, 4))
-        state["kv_k"] = k
-        state["kv_v"] = v
+        state["kv_k"] = np.ascontiguousarray(kv_to_canonical(k))
+        state["kv_v"] = np.ascontiguousarray(kv_to_canonical(v))
         return state
 
     def load_state(self, state: dict) -> None:
-        from ..models.forward import kv_head_major, kv_state_slice
+        from ..models.forward import kv_from_canonical, kv_state_slice
 
         n = int(state["n_past"])
-        hm = kv_head_major()
         kv = KVCache.create(self.spec, self.batch, self.kv_dtype)
         sl = kv_state_slice(n)
         if n:
-            k = jnp.asarray(state["kv_k"], jnp.float32)
-            v = jnp.asarray(state["kv_v"], jnp.float32)
-            if hm:  # canonical (L, B, n, Hkv, dh) -> (L, B, Hkv, n, dh)
-                k = k.transpose(0, 1, 3, 2, 4)
-                v = v.transpose(0, 1, 3, 2, 4)
+            k = kv_from_canonical(jnp.asarray(state["kv_k"], jnp.float32))
+            v = kv_from_canonical(jnp.asarray(state["kv_v"], jnp.float32))
             if kv.ks is not None:
                 from ..models.forward import kv_quantize
 
@@ -386,6 +378,13 @@ class Engine:
                     kv.k.at[sl].set(k.astype(self.kv_dtype)),
                     kv.v.at[sl].set(v.astype(self.kv_dtype)),
                 )
+        if self.mesh is not None:
+            # restore the construction-time sharding invariant: without
+            # this the rebuilt cache sits whole on device 0 (an HBM spike
+            # on session restore for meshes the cache was sized for)
+            from ..parallel import mesh as pmesh
+
+            kv = pmesh.shard_kv(kv, self.spec, self.mesh)
         self.kv = kv
         self.n_past = n
         self.logits = None if state["logits"] is None else np.array(state["logits"])

@@ -124,9 +124,11 @@ class LLM:
             lib: Ignored (kept for API compatibility with the reference).
             lora: Optional path to a ggla LoRA adapter (llama models;
                 reference llama_apply_lora_from_file, llama.cpp:5002-5277).
-            kv_dtype: KV cache storage: "f32" (default), "bf16", or "int8"
-                (per-token-head quantized rows; halves cache HBM traffic).
-                Also settable via the CT_KV_DTYPE env var.
+            kv_dtype: KV cache storage: "f32" (default), "bf16" (also
+                accepts "f16", which aliases to bfloat16 — the TPU half
+                type; same byte width as the reference's f16_kv), or
+                "int8" (per-token-head quantized rows; halves cache HBM
+                traffic). Also settable via the CT_KV_DTYPE env var.
         """
         from .utils import is_gguf
 
@@ -166,22 +168,9 @@ class LLM:
         if bundle.architecture:
             model_type = bundle.architecture
         self._model_type = model_type
-        import os as _os
+        from .models.forward import resolve_kv_dtype
 
-        import jax.numpy as _jnp
-
-        kd = getattr(self, "_kv_dtype", None) or _os.environ.get("CT_KV_DTYPE")
-        kv_dtypes = {
-            None: _jnp.float32, "f32": _jnp.float32,
-            "bf16": _jnp.bfloat16, "f16": _jnp.bfloat16,
-            "int8": _jnp.int8,
-        }
-        if kd not in kv_dtypes:
-            raise ValueError(
-                f"unknown kv_dtype {kd!r}; expected one of "
-                "'f32', 'bf16', 'f16', 'int8'"
-            )
-        kv_dtype = kv_dtypes[kd]
+        kv_dtype = resolve_kv_dtype(getattr(self, "_kv_dtype", None))
         self._engine = Engine(bundle.spec, bundle.params, kv_dtype=kv_dtype)
         self._sample_fn = (
             samplers.sample_llama

@@ -233,6 +233,45 @@ def kv_state_slice(n: int):
     return (slice(None), slice(None), slice(0, n))
 
 
+def kv_to_canonical(a):
+    """Stacked cache slab -> canonical token-major (L, B, n, Hkv, dh[?])
+    (the layout-independent snapshot/GGSN format)."""
+    if not kv_head_major():
+        return a
+    perm = (0, 1, 3, 2, 4) if a.ndim == 5 else (0, 1, 3, 2)
+    return a.transpose(perm)
+
+
+def kv_from_canonical(a):
+    """Inverse of kv_to_canonical (the permutation is an involution)."""
+    return kv_to_canonical(a)
+
+
+def resolve_kv_dtype(name):
+    """Map a user-facing KV-dtype name (or None/'' = default) to a jnp
+    dtype. 'f16' aliases to bfloat16 — the TPU half type (same byte
+    width as the reference's f16_kv; wider exponent, shorter mantissa).
+    Shared by LLM, the HTTP server, and bench so every entry point
+    honors the same names / CT_KV_DTYPE env var."""
+    import os
+
+    if not name:
+        name = os.environ.get("CT_KV_DTYPE") or None
+    kinds = {
+        None: jnp.float32, "f32": jnp.float32,
+        "bf16": jnp.bfloat16, "f16": jnp.bfloat16,
+        "int8": jnp.int8,
+    }
+    if isinstance(name, str):
+        name = name.strip().lower() or None
+    if name not in kinds:
+        raise ValueError(
+            f"unknown kv_dtype {name!r}; expected one of "
+            "'f32', 'bf16', 'f16' (alias of bf16 on TPU), 'int8'"
+        )
+    return kinds[name]
+
+
 def _attention(
     spec: ArchSpec,
     layer: Params,

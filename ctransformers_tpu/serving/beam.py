@@ -41,6 +41,8 @@ def beam_search(
         jnp.asarray, params, is_leaf=lambda a: hasattr(a, "tree_flatten")
     )
     prompt = list(prompt)
+    if not prompt:
+        raise ValueError("beam_search requires a non-empty prompt")
     kv = KVCache.create(spec, n_beams, kv_dtype)
 
     def step(tokens, n_past, kv, active):

@@ -28,8 +28,13 @@ class ServingLoop:
     def __init__(self, llm, batch_slots: int = 8):
         self.llm = llm
         b = llm._bundle
+        # honor the same KV-dtype knob as the LLM's own engine (int8
+        # matters MOST here: the shared batch multiplies cache HBM)
         self.scheduler = BatchScheduler(
-            b.spec, llm._engine.params, batch_slots=batch_slots
+            b.spec,
+            llm._engine.params,
+            batch_slots=batch_slots,
+            kv_dtype=llm._engine.kv_dtype,
         )
         self._events = {}
         self._lock = threading.Lock()

@@ -126,3 +126,25 @@ def test_qmm_shard_map_matches_jnp(pspec, kind, layout, monkeypatch):
     ref = np.asarray(qm._qmm_jnp(jnp.asarray(x), qt))
     scale = max(np.abs(ref).max(), 1e-6)
     assert np.abs(got - ref).max() < 3e-2 * scale
+
+
+def test_load_state_preserves_kv_sharding():
+    """Session restore on a mesh engine must re-shard the rebuilt cache
+    (it otherwise materializes whole on device 0)."""
+    import jax.numpy as jnp
+
+    from ctransformers_tpu.engine.engine import Engine
+
+    mesh = pmesh.make_mesh(8, data=2)
+    spec = LLAMA_TINY.replace(n_head=4, n_head_kv=4)
+    params = random_params(spec, seed=1)
+    eng = Engine(spec, params, batch_size=2, mesh=mesh)
+    eng.eval([1, 2, 3, 4])
+    state = eng.save_state()
+    before = eng.kv.k.sharding
+    eng.load_state(state)
+    assert eng.kv.k.sharding.is_equivalent_to(before, eng.kv.k.ndim)
+    # and the restored cache still decodes
+    eng.eval([4], n_past=3)
+    eng.rewind(4)
+    assert len(eng.decode(2, temperature=0.0, repetition_penalty=1.0)) == 2
