@@ -22,6 +22,9 @@ timeout 1200 python scripts/health.py || echo "health failed"
 stage "probe_int4"
 timeout 1800 python scripts/probe_int4.py || echo "probe_int4 failed"
 
+stage "probe_attention (decides KV layout / kernel / int8 defaults)"
+timeout 2400 python scripts/probe_attention.py || echo "probe_attention failed"
+
 stage "bench single (ksplit baseline)"
 CT_PACK4_LAYOUT=ksplit timeout 3600 python bench.py || echo "bench ksplit failed"
 
