@@ -59,6 +59,24 @@ def _load():
         ctypes.c_int,
     ]
     lib.ct_pack4.restype = ctypes.c_int
+    lib.ct_spm_new.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.ct_spm_new.restype = ctypes.c_void_p
+    lib.ct_spm_free.argtypes = [ctypes.c_void_p]
+    lib.ct_spm_free.restype = None
+    lib.ct_spm_tokenize.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.ct_spm_tokenize.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -124,6 +142,55 @@ def native_repack(
     if rc:
         return None
     return q, s, m, g
+
+
+class NativeSPM:
+    """Handle over the C++ bigram-merge tokenizer (native/tokenizer.cc).
+    Token-for-token identical to tokenizers/spm.py (parity-tested); the
+    Python loop is the fallback. ~100x faster on long prompts."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def __del__(self):
+        lib = _load()
+        if lib is not None and self._h:
+            lib.ct_spm_free(self._h)
+            self._h = None
+
+    def tokenize(self, raw: bytes) -> Optional[np.ndarray]:
+        lib = _load()
+        if lib is None or not self._h:
+            return None
+        cap = max(len(raw), 1) + 1
+        out = np.empty(cap, np.int32)
+        n = lib.ct_spm_tokenize(
+            self._h, raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap
+        )
+        if n < 0:
+            return None
+        return out[:n]
+
+
+def native_spm(pieces, scores, legacy: bool = False) -> Optional[NativeSPM]:
+    """Build a native SPM tokenizer from id-ordered `pieces` (list of str
+    or bytes) and their scores; None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    enc = [p.encode("utf-8") if isinstance(p, str) else bytes(p) for p in pieces]
+    blob = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum([len(p) for p in enc], out=offs[1:])
+    sc = np.ascontiguousarray(np.asarray(scores, np.float32))
+    h = lib.ct_spm_new(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(enc),
+        1 if legacy else 0,
+    )
+    return NativeSPM(h) if h else None
 
 
 def native_pack4(q: np.ndarray, zp: int) -> Optional[np.ndarray]:

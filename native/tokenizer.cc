@@ -1,0 +1,201 @@
+// Native SPM tokenizer: the bigram-merge loop in C++.
+//
+// The reference tokenizes in C++ (llm_tokenizer_spm,
+// /root/reference/models/ggml/llama.cpp:3063-3211); the Python
+// implementation (ctransformers_tpu/tokenizers/spm.py) is the semantic
+// reference and fallback — this runtime must match it token-for-token.
+// Python merge-loop throughput is ~0.25 MB/s, which puts seconds of host
+// time in front of a long-context prefill; this loop runs ~2 orders of
+// magnitude faster.
+//
+// Exact-parity notes (mirroring spm.py):
+//   * max-heap on (score, -left, -insertion_counter): pop the highest
+//     score, ties to the smallest left index, further ties in insertion
+//     order (llm_bigram_spm::comparator + heapq counter).
+//   * stale-entry checks: both symbols still alive AND their combined
+//     byte length equals the queued entry's.
+//   * rev_merge is keyed by CONTENT (std::string), like the reference —
+//     a later try_add of the same content overwrites the earlier entry.
+//   * GGUF mode resegments unmatched symbols through rev_merge and falls
+//     back to <0xXX> byte tokens; legacy (pre-GGUF) mode does a direct
+//     lookup then per-codepoint raw-piece fallback, no resegmentation.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vocab {
+  std::unordered_map<std::string, int32_t> piece_to_id;
+  std::vector<float> scores;
+  bool legacy = false;
+};
+
+struct Bigram {
+  float score;
+  int32_t left;
+  int64_t counter;
+  int32_t right;
+  int32_t size;  // combined byte length at insertion time
+};
+
+struct BigramLess {  // priority_queue pops the "largest"
+  bool operator()(const Bigram& a, const Bigram& b) const {
+    if (a.score != b.score) return a.score < b.score;
+    if (a.left != b.left) return a.left > b.left;
+    return a.counter > b.counter;
+  }
+};
+
+// UTF-8 sequence length from the first byte (llama.cpp utf8_len)
+static inline int utf8_len(uint8_t c) {
+  static const int lut[16] = {1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 3, 4};
+  return lut[c >> 4];
+}
+
+struct Sym {
+  int32_t off;
+  int32_t len;  // 0 = consumed by a merge
+  int32_t prev;
+  int32_t next;
+};
+
+}  // namespace
+
+extern "C" {
+
+// pieces: concatenated UTF-8 blob; offs[n+1] prefix offsets; scores[n].
+void* ct_spm_new(const char* blob, const int64_t* offs, const float* scores,
+                 int32_t n, int32_t legacy) {
+  Vocab* v = new Vocab();
+  v->legacy = legacy != 0;
+  v->scores.assign(scores, scores + n);
+  v->piece_to_id.reserve((size_t)n * 2);
+  for (int32_t i = 0; i < n; i++) {
+    std::string p(blob + offs[i], (size_t)(offs[i + 1] - offs[i]));
+    // later duplicates overwrite — Python dict-assignment parity
+    v->piece_to_id[std::move(p)] = i;
+  }
+  return v;
+}
+
+void ct_spm_free(void* h) { delete static_cast<Vocab*>(h); }
+
+// Tokenize pre-escaped text; returns token count (<= cap) or -1 on error.
+int64_t ct_spm_tokenize(void* h, const char* text, int64_t len, int32_t* out,
+                        int64_t cap) {
+  const Vocab& v = *static_cast<Vocab*>(h);
+  int64_t n_out = 0;
+  if (len <= 0) return 0;
+
+  // initial symbols: one per UTF-8 codepoint
+  std::vector<Sym> syms;
+  syms.reserve((size_t)len);
+  for (int64_t i = 0; i < len;) {
+    int l = utf8_len((uint8_t)text[i]);
+    if (i + l > len) l = (int)(len - i);
+    Sym s;
+    s.off = (int32_t)i;
+    s.len = l;
+    s.prev = (int32_t)syms.size() - 1;
+    s.next = (i + l < len) ? (int32_t)syms.size() + 1 : -1;
+    syms.push_back(s);
+    i += l;
+  }
+
+  std::priority_queue<Bigram, std::vector<Bigram>, BigramLess> heap;
+  std::unordered_map<std::string, std::pair<int32_t, int32_t>> rev_merge;
+  int64_t counter = 0;
+
+  auto try_add = [&](int32_t left, int32_t right) {
+    if (left == -1 || right == -1) return;
+    std::string t(text + syms[left].off,
+                  (size_t)(syms[left].len + syms[right].len));
+    auto it = v.piece_to_id.find(t);
+    if (it == v.piece_to_id.end()) return;
+    int32_t tid = it->second;
+    if (tid >= (int32_t)v.scores.size()) return;
+    heap.push(Bigram{v.scores[tid], left, counter++, right,
+                     syms[left].len + syms[right].len});
+    rev_merge[t] = {left, right};
+  };
+
+  for (size_t i = 1; i < syms.size(); i++)
+    try_add((int32_t)i - 1, (int32_t)i);
+
+  while (!heap.empty()) {
+    Bigram bg = heap.top();
+    heap.pop();
+    Sym& l = syms[bg.left];
+    Sym& r = syms[bg.right];
+    if (l.len == 0 || r.len == 0) continue;
+    if (l.len + r.len != bg.size) continue;  // stale
+    l.len += r.len;
+    r.len = 0;
+    l.next = r.next;
+    if (r.next >= 0) syms[r.next].prev = bg.left;
+    try_add(l.prev, bg.left);
+    try_add(bg.left, l.next);
+  }
+
+  auto emit = [&](int32_t id) -> bool {
+    if (n_out >= cap) return false;
+    out[n_out++] = id;
+    return true;
+  };
+
+  char bytebuf[8];
+  // iterative resegment (explicit stack; Python recursion equivalent)
+  std::vector<std::pair<int32_t, int32_t>> stack;  // (off, len)
+  for (int32_t i = 0; i != -1; i = syms[i].next) {
+    stack.clear();
+    stack.push_back({syms[i].off, syms[i].len});
+    while (!stack.empty()) {
+      auto [off, sl] = stack.back();
+      stack.pop_back();
+      std::string t(text + off, (size_t)sl);
+      auto it = v.piece_to_id.find(t);
+      if (it != v.piece_to_id.end()) {
+        if (!emit(it->second)) return -1;
+        continue;
+      }
+      if (v.legacy) {
+        // raw per-codepoint fallback (llama-ggml.cpp:2030-2036)
+        for (int32_t j = 0; j < sl;) {
+          int cl = utf8_len((uint8_t)text[off + j]);
+          if (j + cl > sl) cl = sl - j;
+          std::string c(text + off + j, (size_t)cl);
+          auto ci = v.piece_to_id.find(c);
+          if (ci != v.piece_to_id.end() && !emit(ci->second)) return -1;
+          j += cl;
+        }
+        continue;
+      }
+      auto mi = rev_merge.find(t);
+      if (mi == rev_merge.end()) {
+        // byte fallback (llama_byte_to_token, llama.cpp:3037-3042)
+        for (int32_t j = 0; j < sl; j++) {
+          std::snprintf(bytebuf, sizeof(bytebuf), "<0x%02X>",
+                        (uint8_t)text[off + j]);
+          auto bi = v.piece_to_id.find(bytebuf);
+          if (bi != v.piece_to_id.end() && !emit(bi->second)) return -1;
+        }
+        continue;
+      }
+      // push right first so left pops (and emits) first; spans are the
+      // symbols' CURRENT state, exactly like the Python/reference
+      // resegment (which reads syms[p] at final-merge state)
+      int32_t lc = mi->second.first, rc = mi->second.second;
+      stack.push_back({syms[rc].off, syms[rc].len});
+      stack.push_back({syms[lc].off, syms[lc].len});
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"
