@@ -77,6 +77,26 @@ def _load():
         ctypes.c_int64,
     ]
     lib.ct_spm_tokenize.restype = ctypes.c_int64
+    lib.ct_bpe_new.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.ct_bpe_new.restype = ctypes.c_void_p
+    lib.ct_bpe_free.argtypes = [ctypes.c_void_p]
+    lib.ct_bpe_free.restype = None
+    lib.ct_bpe_tokenize.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.ct_bpe_tokenize.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -191,6 +211,78 @@ def native_spm(pieces, scores, legacy: bool = False) -> Optional[NativeSPM]:
         1 if legacy else 0,
     )
     return NativeSPM(h) if h else None
+
+
+class NativeBPE:
+    """Handle over the C++ rank-merge BPE loop (native/tokenizer.cc);
+    parity-locked against tokenizers/bpe.py."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def __del__(self):
+        lib = _load()
+        if lib is not None and self._h:
+            lib.ct_bpe_free(self._h)
+            self._h = None
+
+    def tokenize_words(self, words) -> Optional[np.ndarray]:
+        """words: iterable of pre-split word strings/bytes (regex output)."""
+        lib = _load()
+        if lib is None or not self._h:
+            return None
+        enc = [
+            w.encode("utf-8") if isinstance(w, str) else bytes(w)
+            for w in words
+        ]
+        blob = b"".join(enc)
+        offs = np.zeros(len(enc) + 1, np.int64)
+        if enc:
+            np.cumsum([len(w) for w in enc], out=offs[1:])
+        cap = max(len(blob), 1) + 1
+        out = np.empty(cap, np.int32)
+        n = lib.ct_bpe_tokenize(
+            self._h,
+            blob,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(enc),
+            out.ctypes.data_as(ctypes.c_void_p),
+            cap,
+        )
+        if n < 0:
+            return None
+        return out[:n]
+
+
+def native_bpe(pieces, merges) -> Optional[NativeBPE]:
+    """Build a native BPE tokenizer from id-ordered pieces and merge lines
+    ("left right"); None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    enc = [p.encode("utf-8") if isinstance(p, str) else bytes(p) for p in pieces]
+    blob = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, np.int64)
+    if enc:
+        np.cumsum([len(p) for p in enc], out=offs[1:])
+    parts = []
+    for line in merges:
+        l, _, r = line.partition(" ")
+        parts.append(l.encode("utf-8"))
+        parts.append(r.encode("utf-8"))
+    mblob = b"".join(parts)
+    moffs = np.zeros(len(parts) + 1, np.int64)
+    if parts:
+        np.cumsum([len(p) for p in parts], out=moffs[1:])
+    h = lib.ct_bpe_new(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(enc),
+        mblob,
+        moffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(parts) // 2,
+    )
+    return NativeBPE(h) if h else None
 
 
 def native_pack4(q: np.ndarray, zp: int) -> Optional[np.ndarray]:

@@ -22,11 +22,28 @@ _SPLIT_RE = re.compile(
 class BPETokenizer:
     def __init__(self, vocab, merges: Sequence[str]):
         self.vocab = vocab
+        self._merges = list(merges)
+        self._native = None  # lazily-built C++ merge loop (or False)
         # "left right" lines -> rank (llm_load_vocab, llama.cpp:1694-1717)
         self.ranks = {}
         for rank, line in enumerate(merges):
             l, _, r = line.partition(" ")
             self.ranks[(l, r)] = rank
+
+    def _native_tok(self):
+        """C++ rank-merge fast path (native/tokenizer.cc); the Python loop
+        below is the semantic reference and fallback."""
+        if self._native is None:
+            import os
+
+            self._native = False
+            if not os.environ.get("CT_NO_NATIVE"):
+                pieces = getattr(self.vocab, "pieces", None)
+                if pieces is not None:
+                    from ..formats.native import native_bpe
+
+                    self._native = native_bpe(pieces, self._merges) or False
+        return self._native or None
 
     def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
         v = self.vocab
@@ -36,7 +53,15 @@ class BPETokenizer:
         if not text:
             return out
 
-        for word in _SPLIT_RE.findall(text):
+        words = _SPLIT_RE.findall(text)
+        nat = self._native_tok()
+        if nat is not None:
+            ids = nat.tokenize_words(words)
+            if ids is not None:
+                out.extend(int(t) for t in ids)
+                return out
+
+        for word in words:
             syms: List[str] = list(word)
             n = len(syms)
             prev = list(range(-1, n - 1))

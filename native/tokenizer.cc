@@ -199,3 +199,151 @@ int64_t ct_spm_tokenize(void* h, const char* text, int64_t len, int32_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BPE (GGUF "gpt2" tokenizer model; falcon) — rank-ordered pair merges per
+// pre-split word (llm_tokenizer_bpe, llama.cpp:3213-3388). The GPT-2 regex
+// pre-split stays in Python (C-backed re module); this runs the merge loop
+// over all words in one call. Python reference: tokenizers/bpe.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BPEVocab {
+  std::unordered_map<std::string, int32_t> piece_to_id;
+  // key = left + '\0' + right (merge pieces are text-line tokens and can
+  // never contain NUL, so the join is unambiguous)
+  std::unordered_map<std::string, int32_t> ranks;
+};
+
+struct BPEEntry {
+  int32_t rank;
+  int32_t left;
+  std::string text;  // pair content at insertion (staleness check)
+  int32_t right;
+};
+
+// Python heap tuple order: (rank, left, text_pair, right) min-heap
+struct BPELess {  // priority_queue pops "largest" => invert
+  bool operator()(const BPEEntry& a, const BPEEntry& b) const {
+    if (a.rank != b.rank) return a.rank > b.rank;
+    if (a.left != b.left) return a.left > b.left;
+    if (a.text != b.text) return a.text > b.text;
+    return a.right > b.right;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ct_bpe_new(const char* pieces_blob, const int64_t* p_offs,
+                 int32_t n_pieces, const char* merge_blob,
+                 const int64_t* m_offs, int32_t n_merges) {
+  BPEVocab* v = new BPEVocab();
+  v->piece_to_id.reserve((size_t)n_pieces * 2);
+  for (int32_t i = 0; i < n_pieces; i++) {
+    std::string p(pieces_blob + p_offs[i], (size_t)(p_offs[i + 1] - p_offs[i]));
+    v->piece_to_id[std::move(p)] = i;  // later duplicates overwrite
+  }
+  v->ranks.reserve((size_t)n_merges * 2);
+  for (int32_t r = 0; r < n_merges; r++) {
+    std::string key(merge_blob + m_offs[2 * r],
+                    (size_t)(m_offs[2 * r + 1] - m_offs[2 * r]));
+    key.push_back('\0');
+    key.append(merge_blob + m_offs[2 * r + 1],
+               (size_t)(m_offs[2 * r + 2] - m_offs[2 * r + 1]));
+    // duplicate pair lines: the later rank overwrites (dict parity)
+    v->ranks[std::move(key)] = r;
+  }
+  return v;
+}
+
+void ct_bpe_free(void* h) { delete static_cast<BPEVocab*>(h); }
+
+// words: concatenated pre-split word bytes; w_offs[n_words+1] prefixes.
+int64_t ct_bpe_tokenize(void* h, const char* words, const int64_t* w_offs,
+                        int32_t n_words, int32_t* out, int64_t cap) {
+  const BPEVocab& v = *static_cast<BPEVocab*>(h);
+  int64_t n_out = 0;
+  std::vector<Sym> syms;
+  std::priority_queue<BPEEntry, std::vector<BPEEntry>, BPELess> heap;
+
+  for (int32_t w = 0; w < n_words; w++) {
+    const char* base = words + w_offs[w];
+    int64_t wlen = w_offs[w + 1] - w_offs[w];
+    if (wlen <= 0) continue;
+    syms.clear();
+    for (int64_t i = 0; i < wlen;) {
+      int l = utf8_len((uint8_t)base[i]);
+      if (i + l > wlen) l = (int)(wlen - i);
+      Sym s;
+      s.off = (int32_t)i;
+      s.len = l;
+      s.prev = (int32_t)syms.size() - 1;
+      s.next = (i + l < wlen) ? (int32_t)syms.size() + 1 : -1;
+      syms.push_back(s);
+      i += l;
+    }
+    while (!heap.empty()) heap.pop();
+
+    auto try_add = [&](int32_t left, int32_t right) {
+      if (left == -1 || right == -1) return;
+      std::string key(base + syms[left].off, (size_t)syms[left].len);
+      key.push_back('\0');
+      key.append(base + syms[right].off, (size_t)syms[right].len);
+      auto it = v.ranks.find(key);
+      if (it == v.ranks.end()) return;
+      std::string text(base + syms[left].off, (size_t)syms[left].len);
+      text.append(base + syms[right].off, (size_t)syms[right].len);
+      heap.push(BPEEntry{it->second, left, std::move(text), right});
+    };
+
+    for (size_t i = 1; i < syms.size(); i++)
+      try_add((int32_t)i - 1, (int32_t)i);
+
+    while (!heap.empty()) {
+      BPEEntry e = heap.top();
+      heap.pop();
+      Sym& l = syms[e.left];
+      Sym& r = syms[e.right];
+      if (l.len == 0 || r.len == 0) continue;
+      if ((size_t)(l.len + r.len) != e.text.size() ||
+          std::memcmp(base + l.off, e.text.data(), l.len) != 0 ||
+          std::memcmp(base + r.off, e.text.data() + l.len, r.len) != 0)
+        continue;  // outdated entry
+      l.len += r.len;
+      r.len = 0;
+      l.next = r.next;
+      if (r.next >= 0) syms[r.next].prev = e.left;
+      try_add(l.prev, e.left);
+      try_add(e.left, l.next);
+    }
+
+    for (int32_t i = 0; i != -1; i = syms[i].next) {
+      if (syms[i].len == 0) continue;
+      std::string t(base + syms[i].off, (size_t)syms[i].len);
+      auto it = v.piece_to_id.find(t);
+      if (it != v.piece_to_id.end()) {
+        if (n_out >= cap) return -1;
+        out[n_out++] = it->second;
+        continue;
+      }
+      // single-codepoint fallback (llama.cpp:3316-3326)
+      for (int32_t j = 0; j < syms[i].len;) {
+        int cl = utf8_len((uint8_t)base[syms[i].off + j]);
+        if (j + cl > syms[i].len) cl = syms[i].len - j;
+        std::string c(base + syms[i].off + j, (size_t)cl);
+        auto ci = v.piece_to_id.find(c);
+        if (ci != v.piece_to_id.end()) {
+          if (n_out >= cap) return -1;
+          out[n_out++] = ci->second;
+        }
+        j += cl;
+      }
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -120,3 +120,64 @@ def test_native_throughput_sanity():
 
     assert ids_nat == ids_py
     assert t_nat * 5 < t_py, (t_nat, t_py)
+
+
+# --------------------------------------------------------------------------
+# BPE
+# --------------------------------------------------------------------------
+
+
+def _bpe_vocab(seed=0):
+    from ctransformers_tpu.tokenizers.bpe import BPETokenizer
+
+    rng = random.Random(seed)
+    base = list("abcdefghijklmnopqrstuvwxyz .,!?éü中🌍")
+    base += ["Ġ" + c for c in "abcdefghij"]
+    words = ["the", "cat", "hat", "hello", "world", "Ġthe", "Ġcat"]
+    merges, pieces = [], list(dict.fromkeys(base))
+    seen_pairs = set()
+    for w in words:
+        for i in range(1, len(w)):
+            l, r = w[:i], w[i:]
+            if len(r) <= 2 and (l, r) not in seen_pairs:
+                merges.append(f"{l} {r}")
+                seen_pairs.add((l, r))
+                if l + r not in pieces:
+                    pieces.append(l + r)
+    rng.shuffle(merges)
+    v = GGUFVocab(pieces, [0.0] * len(pieces), vocab_type="bpe")
+    return BPETokenizer(v, merges), merges
+
+
+BPE_TEXTS = [
+    "",
+    "the cat in the hat",
+    "hello world, it's 2026!",
+    "unknown中 glyphs 🌍 and   spaces",
+    "numbers 12345 and punct !?.,",
+    "tab\tand\nnewline",
+]
+
+
+@pytest.mark.parametrize("text", BPE_TEXTS)
+def test_native_bpe_matches_python(text):
+    tok, merges = _bpe_vocab()
+    tok_py, _ = _bpe_vocab()
+    tok_py._native = False
+    assert tok._native_tok() is not None, "native BPE unavailable"
+    assert tok.tokenize(text, add_bos_token=True) == tok_py.tokenize(
+        text, add_bos_token=True
+    )
+
+
+def test_native_bpe_fuzz():
+    tok, _ = _bpe_vocab(seed=5)
+    tok_py, _ = _bpe_vocab(seed=5)
+    tok_py._native = False
+    assert tok._native_tok() is not None
+    rng = random.Random(11)
+    alphabet = "abcdefghij théc🌍中 .?!\n12"
+    for _ in range(60):
+        n = rng.randint(0, 100)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert tok.tokenize(text) == tok_py.tokenize(text), repr(text)
