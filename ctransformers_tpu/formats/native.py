@@ -97,8 +97,38 @@ def _load():
         ctypes.c_int64,
     ]
     lib.ct_bpe_tokenize.restype = ctypes.c_int64
+    lib.ct_greedy_new.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.ct_greedy_new.restype = ctypes.c_void_p
+    lib.ct_greedy_free.argtypes = [ctypes.c_void_p]
+    lib.ct_greedy_free.restype = None
+    lib.ct_greedy_tokenize.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.ct_greedy_tokenize.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def _pack_blob(items):
+    """Concatenate byte strings; returns (blob, int64 prefix offsets)."""
+    enc = [
+        it.encode("utf-8") if isinstance(it, str) else bytes(it)
+        for it in items
+    ]
+    blob = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, np.int64)
+    if enc:
+        np.cumsum([len(e) for e in enc], out=offs[1:])
+    return blob, offs
 
 
 def available() -> bool:
@@ -283,6 +313,54 @@ def native_bpe(pieces, merges) -> Optional[NativeBPE]:
         len(parts) // 2,
     )
     return NativeBPE(h) if h else None
+
+
+class NativeGreedy:
+    """Handle over the C++ greedy longest-match loop (native/tokenizer.cc);
+    parity-locked against tokenizers/greedy.py (which additionally logs
+    unknown-byte warnings — a log-only difference)."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def __del__(self):
+        lib = _load()
+        if lib is not None and self._h:
+            lib.ct_greedy_free(self._h)
+            self._h = None
+
+    def tokenize_words(self, words) -> Optional[np.ndarray]:
+        lib = _load()
+        if lib is None or not self._h:
+            return None
+        blob, offs = _pack_blob(words)
+        cap = max(len(blob), 1) + 1
+        out = np.empty(cap, np.int32)
+        n = lib.ct_greedy_tokenize(
+            self._h,
+            blob,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offs) - 1,
+            out.ctypes.data_as(ctypes.c_void_p),
+            cap,
+        )
+        if n < 0:
+            return None
+        return out[:n]
+
+
+def native_greedy(tokens) -> Optional[NativeGreedy]:
+    """Build a native greedy tokenizer from id-ordered byte tokens."""
+    lib = _load()
+    if lib is None:
+        return None
+    blob, offs = _pack_blob(tokens)
+    h = lib.ct_greedy_new(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offs) - 1,
+    )
+    return NativeGreedy(h) if h else None
 
 
 def native_pack4(q: np.ndarray, zp: int) -> Optional[np.ndarray]:

@@ -37,11 +37,34 @@ def split_words(text: str, special_tokens: List[str]) -> List[str]:
 class GreedyTokenizer:
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
+        self._native = None  # lazily-built C++ loop (or False)
+
+    def _native_tok(self):
+        """C++ longest-match fast path (native/tokenizer.cc); the Python
+        loop below is the semantic reference and fallback (it also logs
+        unknown-byte warnings, which the native path skips silently)."""
+        if self._native is None:
+            import os
+
+            self._native = False
+            if not os.environ.get("CT_NO_NATIVE"):
+                from ..formats.native import native_greedy
+
+                self._native = (
+                    native_greedy(self.vocab.id_to_token) or False
+                )
+        return self._native or None
 
     def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
         del add_bos_token  # example models ignore BOS (llm.h:27-30)
         tokens: List[int] = []
-        for word in split_words(text, self.vocab.special_tokens):
+        words = split_words(text, self.vocab.special_tokens)
+        nat = self._native_tok()
+        if nat is not None:
+            ids = nat.tokenize_words(words)
+            if ids is not None:
+                return [int(t) for t in ids]
+        for word in words:
             data = word.encode("utf-8")
             i = 0
             n = len(data)

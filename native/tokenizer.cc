@@ -347,3 +347,67 @@ int64_t ct_bpe_tokenize(void* h, const char* words, const int64_t* w_offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy longest-match tokenizer (the "GGML example" models; reference
+// models/common.h:66-125). Byte-keyed vocab, per pre-split word: repeatedly
+// take the longest vocabulary entry; unknown single bytes are skipped
+// (the Python fallback additionally logs a warning — log-only difference).
+// Python reference: tokenizers/greedy.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct GreedyVocab {
+  std::unordered_map<std::string, int32_t> token_to_id;
+  size_t max_len = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ct_greedy_new(const char* blob, const int64_t* offs, int32_t n) {
+  GreedyVocab* v = new GreedyVocab();
+  v->token_to_id.reserve((size_t)n * 2);
+  for (int32_t i = 0; i < n; i++) {
+    std::string t(blob + offs[i], (size_t)(offs[i + 1] - offs[i]));
+    if (t.size() > v->max_len) v->max_len = t.size();
+    v->token_to_id[std::move(t)] = i;  // later duplicates overwrite
+  }
+  return v;
+}
+
+void ct_greedy_free(void* h) { delete static_cast<GreedyVocab*>(h); }
+
+int64_t ct_greedy_tokenize(void* h, const char* words, const int64_t* w_offs,
+                           int32_t n_words, int32_t* out, int64_t cap) {
+  const GreedyVocab& v = *static_cast<GreedyVocab*>(h);
+  int64_t n_out = 0;
+  std::string key;
+  for (int32_t w = 0; w < n_words; w++) {
+    const char* base = words + w_offs[w];
+    int64_t n = w_offs[w + 1] - w_offs[w];
+    int64_t i = 0;
+    while (i < n) {
+      bool matched = false;
+      int64_t jmax = n - 1;
+      if ((size_t)(jmax - i + 1) > v.max_len) jmax = i + (int64_t)v.max_len - 1;
+      for (int64_t j = jmax; j >= i; j--) {
+        key.assign(base + i, (size_t)(j - i + 1));
+        auto it = v.token_to_id.find(key);
+        if (it != v.token_to_id.end()) {
+          if (n_out >= cap) return -1;
+          out[n_out++] = it->second;
+          i = j + 1;
+          matched = true;
+          break;
+        }
+      }
+      if (!matched) i++;  // unknown byte skipped (warning logged in Python)
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -181,3 +181,56 @@ def test_native_bpe_fuzz():
         n = rng.randint(0, 100)
         text = "".join(rng.choice(alphabet) for _ in range(n))
         assert tok.tokenize(text) == tok_py.tokenize(text), repr(text)
+
+
+# --------------------------------------------------------------------------
+# Greedy (GGML example models)
+# --------------------------------------------------------------------------
+
+
+def _greedy_vocab():
+    from ctransformers_tpu.models.vocab import Vocab
+
+    toks = [b"<unk>", b"<|endoftext|>"]
+    for ch in "abcdefghijklmnopqrstuvwxyz .,!?":
+        toks.append(ch.encode())
+    for w in ["the", "cat", "hat", "hel", "hello", " the", " cat", "th"]:
+        toks.append(w.encode())
+    return Vocab(toks, special_tokens=["<|endoftext|>"])
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "the cat in the hat",
+        "hello<|endoftext|>world",
+        "unknown Ж bytes",  # multi-byte chars absent from vocab
+        "thethethe catcat",
+    ],
+)
+def test_native_greedy_matches_python(text):
+    from ctransformers_tpu.tokenizers.greedy import GreedyTokenizer
+
+    v = _greedy_vocab()
+    tok = GreedyTokenizer(v)
+    tok_py = GreedyTokenizer(v)
+    tok_py._native = False
+    assert tok._native_tok() is not None, "native greedy unavailable"
+    assert tok.tokenize(text) == tok_py.tokenize(text)
+
+
+def test_native_greedy_fuzz():
+    from ctransformers_tpu.tokenizers.greedy import GreedyTokenizer
+
+    v = _greedy_vocab()
+    tok = GreedyTokenizer(v)
+    tok_py = GreedyTokenizer(v)
+    tok_py._native = False
+    assert tok._native_tok() is not None
+    rng = random.Random(13)
+    alphabet = "abcth el.?!Ж "
+    for _ in range(60):
+        n = rng.randint(0, 80)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert tok.tokenize(text) == tok_py.tokenize(text), repr(text)
