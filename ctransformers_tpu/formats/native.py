@@ -114,6 +114,23 @@ def _load():
         ctypes.c_int64,
     ]
     lib.ct_greedy_tokenize.restype = ctypes.c_int64
+    lib.ct_uni_new.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.ct_uni_new.restype = ctypes.c_void_p
+    lib.ct_uni_free.argtypes = [ctypes.c_void_p]
+    lib.ct_uni_free.restype = None
+    lib.ct_uni_tokenize.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.ct_uni_tokenize.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -361,6 +378,48 @@ def native_greedy(tokens) -> Optional[NativeGreedy]:
         len(offs) - 1,
     )
     return NativeGreedy(h) if h else None
+
+
+class NativeUnigram:
+    """Handle over the C++ Viterbi pass (native/tokenizer.cc); parity-locked
+    against tokenizers/unigram.py (double-precision cost accumulation)."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def __del__(self):
+        lib = _load()
+        if lib is not None and self._h:
+            lib.ct_uni_free(self._h)
+            self._h = None
+
+    def tokenize(self, raw: bytes) -> Optional[np.ndarray]:
+        lib = _load()
+        if lib is None or not self._h:
+            return None
+        cap = max(len(raw), 1) + 1
+        out = np.empty(cap, np.int32)
+        n = lib.ct_uni_tokenize(
+            self._h, raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap
+        )
+        if n < 0:
+            return None
+        return out[:n]
+
+
+def native_unigram(pieces, scores) -> Optional[NativeUnigram]:
+    lib = _load()
+    if lib is None:
+        return None
+    blob, offs = _pack_blob(pieces)
+    sc = np.ascontiguousarray(np.asarray(scores, np.float32))
+    h = lib.ct_uni_new(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(offs) - 1,
+    )
+    return NativeUnigram(h) if h else None
 
 
 def native_pack4(q: np.ndarray, zp: int) -> Optional[np.ndarray]:

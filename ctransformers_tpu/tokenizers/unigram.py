@@ -25,6 +25,23 @@ class UnigramTokenizer:
             self.piece_map[p] = (i, -float(s))
         self.max_len = max((len(p) for p in pieces), default=1)
         self._detok = [p.replace(WS, " ").encode("utf-8") for p in pieces]
+        self._scores = [float(s) for s in scores]
+        self._native = None  # lazily-built C++ Viterbi (or False)
+
+    def _native_tok(self):
+        """C++ Viterbi fast path (native/tokenizer.cc); the Python DP below
+        is the semantic reference and fallback."""
+        if self._native is None:
+            import os
+
+            self._native = False
+            if not os.environ.get("CT_NO_NATIVE"):
+                from ..formats.native import native_unigram
+
+                self._native = (
+                    native_unigram(self.pieces, self._scores) or False
+                )
+        return self._native or None
 
     def tokenize(self, text: str, add_bos_token: bool = False) -> List[int]:
         del add_bos_token  # replit has no BOS (llm.h default path)
@@ -32,6 +49,11 @@ class UnigramTokenizer:
         n = len(word)
         if n == 0:
             return []
+        nat = self._native_tok()
+        if nat is not None:
+            ids = nat.tokenize(word.encode("utf-8"))
+            if ids is not None:
+                return [int(t) for t in ids]
         inf = float("inf")
         best_start = [-1] * (n + 1)
         best_score = [inf] * (n + 1)

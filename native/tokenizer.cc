@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <string>
 #include <unordered_map>
@@ -407,6 +408,113 @@ int64_t ct_greedy_tokenize(void* h, const char* words, const int64_t* w_offs,
       if (!matched) i++;  // unknown byte skipped (warning logged in Python)
     }
   }
+  return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Unigram / Viterbi (replit; reference models/llms/replit.cc:57-127): one
+// min-cost DP pass over codepoints, piece cost = -score, prefix seeded with
+// 1.0 (reference quirk), unknown text -> [0]. Python reference:
+// tokenizers/unigram.py. Costs accumulate in double (Python float parity).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct UniVocab {
+  std::unordered_map<std::string, int32_t> ids;
+  std::unordered_map<std::string, double> costs;
+  int32_t max_cp_len = 1;  // longest piece in CODEPOINTS (Python max_len)
+};
+
+static int32_t count_codepoints(const char* s, size_t n) {
+  int32_t c = 0;
+  for (size_t i = 0; i < n;) {
+    int l = utf8_len((uint8_t)s[i]);
+    if (i + l > n) l = (int)(n - i);
+    i += l;
+    c++;
+  }
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ct_uni_new(const char* blob, const int64_t* offs, const float* scores,
+                 int32_t n) {
+  UniVocab* v = new UniVocab();
+  v->ids.reserve((size_t)n * 2);
+  v->costs.reserve((size_t)n * 2);
+  for (int32_t i = 0; i < n; i++) {
+    std::string p(blob + offs[i], (size_t)(offs[i + 1] - offs[i]));
+    int32_t cl = count_codepoints(p.data(), p.size());
+    if (cl > v->max_cp_len) v->max_cp_len = cl;
+    // later duplicates overwrite (dict parity)
+    v->costs[p] = -(double)scores[i];
+    v->ids[std::move(p)] = i;
+  }
+  return v;
+}
+
+void ct_uni_free(void* h) { delete static_cast<UniVocab*>(h); }
+
+// text: pre-escaped (spaces -> U+2581) UTF-8. Returns count or -1.
+int64_t ct_uni_tokenize(void* h, const char* text, int64_t len, int32_t* out,
+                        int64_t cap) {
+  const UniVocab& v = *static_cast<UniVocab*>(h);
+  if (len <= 0) return 0;
+  // codepoint boundaries
+  std::vector<int32_t> bnd;
+  bnd.push_back(0);
+  for (int64_t i = 0; i < len;) {
+    int l = utf8_len((uint8_t)text[i]);
+    if (i + l > len) l = (int)(len - i);
+    i += l;
+    bnd.push_back((int32_t)i);
+  }
+  int32_t n = (int32_t)bnd.size() - 1;
+  const double inf = std::numeric_limits<double>::infinity();
+  std::vector<int32_t> best_start(n + 1, -1);
+  std::vector<double> best_score(n + 1, inf);
+  best_start[0] = 0;
+  best_score[0] = 1.0;  // reference seed (replit.cc:64)
+  std::string key;
+  for (int32_t start = 0; start < n; start++) {
+    double bs = best_score[start];
+    if (bs == inf) continue;
+    int32_t stop = start + v.max_cp_len;
+    if (stop > n) stop = n;
+    for (int32_t end = start + 1; end <= stop; end++) {
+      key.assign(text + bnd[start], (size_t)(bnd[end] - bnd[start]));
+      auto it = v.costs.find(key);
+      if (it == v.costs.end()) continue;
+      double score = it->second + bs;
+      if (score < best_score[end]) {
+        best_score[end] = score;
+        best_start[end] = start;
+      }
+    }
+  }
+  if (best_score[n] == inf) {
+    if (cap < 1) return -1;
+    out[0] = 0;  // reference fallback (replit.cc:87-90)
+    return 1;
+  }
+  std::vector<int32_t> rev;
+  int32_t end = n, start = best_start[end];
+  while (true) {
+    key.assign(text + bnd[start], (size_t)(bnd[end] - bnd[start]));
+    rev.push_back(v.ids.at(key));
+    if (start == 0) break;
+    end = start;
+    start = best_start[start];
+  }
+  if ((int64_t)rev.size() > cap) return -1;
+  int64_t n_out = 0;
+  for (auto it = rev.rbegin(); it != rev.rend(); ++it) out[n_out++] = *it;
   return n_out;
 }
 

@@ -234,3 +234,55 @@ def test_native_greedy_fuzz():
         n = rng.randint(0, 80)
         text = "".join(rng.choice(alphabet) for _ in range(n))
         assert tok.tokenize(text) == tok_py.tokenize(text), repr(text)
+
+
+# --------------------------------------------------------------------------
+# Unigram / Viterbi (replit)
+# --------------------------------------------------------------------------
+
+
+def _unigram():
+    from ctransformers_tpu.tokenizers.unigram import UnigramTokenizer
+
+    rng = random.Random(2)
+    pieces = ["<unk>"]
+    scores = [0.0]
+    for ch in "abcdefghijklmnopqrstuvwxyz▁.,!?中🌍":
+        pieces.append(ch)
+        scores.append(-12.0 - rng.random())
+    for w in ["the", "cat", "hat", "hello", "▁the", "▁cat", "lo", "hel"]:
+        pieces.append(w)
+        scores.append(-float(len(w)) - rng.random())
+    return UnigramTokenizer(pieces, scores)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "the cat in the hat",
+        "hello hello",
+        "中 mixed 🌍 unicode",
+        "unknownЖtext",  # unknown codepoint -> [0] whole-text fallback? no:
+        # only if NO segmentation exists; single chars cover most
+    ],
+)
+def test_native_unigram_matches_python(text):
+    tok = _unigram()
+    tok_py = _unigram()
+    tok_py._native = False
+    assert tok._native_tok() is not None, "native unigram unavailable"
+    assert tok.tokenize(text) == tok_py.tokenize(text)
+
+
+def test_native_unigram_fuzz():
+    tok = _unigram()
+    tok_py = _unigram()
+    tok_py._native = False
+    assert tok._native_tok() is not None
+    rng = random.Random(17)
+    alphabet = "abcth el中🌍.?!Ж "
+    for _ in range(60):
+        n = rng.randint(0, 80)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert tok.tokenize(text) == tok_py.tokenize(text), repr(text)
