@@ -245,16 +245,13 @@ def native_spm(pieces, scores, legacy: bool = False) -> Optional[NativeSPM]:
     lib = _load()
     if lib is None:
         return None
-    enc = [p.encode("utf-8") if isinstance(p, str) else bytes(p) for p in pieces]
-    blob = b"".join(enc)
-    offs = np.zeros(len(enc) + 1, np.int64)
-    np.cumsum([len(p) for p in enc], out=offs[1:])
+    blob, offs = _pack_blob(pieces)
     sc = np.ascontiguousarray(np.asarray(scores, np.float32))
     h = lib.ct_spm_new(
         blob,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        len(enc),
+        len(offs) - 1,
         1 if legacy else 0,
     )
     return NativeSPM(h) if h else None
@@ -278,21 +275,14 @@ class NativeBPE:
         lib = _load()
         if lib is None or not self._h:
             return None
-        enc = [
-            w.encode("utf-8") if isinstance(w, str) else bytes(w)
-            for w in words
-        ]
-        blob = b"".join(enc)
-        offs = np.zeros(len(enc) + 1, np.int64)
-        if enc:
-            np.cumsum([len(w) for w in enc], out=offs[1:])
+        blob, offs = _pack_blob(words)
         cap = max(len(blob), 1) + 1
         out = np.empty(cap, np.int32)
         n = lib.ct_bpe_tokenize(
             self._h,
             blob,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(enc),
+            len(offs) - 1,
             out.ctypes.data_as(ctypes.c_void_p),
             cap,
         )
@@ -307,24 +297,17 @@ def native_bpe(pieces, merges) -> Optional[NativeBPE]:
     lib = _load()
     if lib is None:
         return None
-    enc = [p.encode("utf-8") if isinstance(p, str) else bytes(p) for p in pieces]
-    blob = b"".join(enc)
-    offs = np.zeros(len(enc) + 1, np.int64)
-    if enc:
-        np.cumsum([len(p) for p in enc], out=offs[1:])
+    blob, offs = _pack_blob(pieces)
     parts = []
     for line in merges:
         l, _, r = line.partition(" ")
-        parts.append(l.encode("utf-8"))
-        parts.append(r.encode("utf-8"))
-    mblob = b"".join(parts)
-    moffs = np.zeros(len(parts) + 1, np.int64)
-    if parts:
-        np.cumsum([len(p) for p in parts], out=moffs[1:])
+        parts.append(l)
+        parts.append(r)
+    mblob, moffs = _pack_blob(parts)
     h = lib.ct_bpe_new(
         blob,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(enc),
+        len(offs) - 1,
         mblob,
         moffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(parts) // 2,

@@ -147,7 +147,6 @@ def _q3k_tables():
     pos = r % 32
     byte = 32 * half + pos
     shift = 2 * j
-    hm_byte = pos + 16 * (pos >= 16) * 0  # placeholder, fixed below
     # hm index: within a shift group, first 16 use hm[l], next 16 use hm[l+16]
     hm_byte = (pos % 16) + 16 * (pos >= 16)
     hm_bit = 4 * half + j  # m = 1 << (4*half + j)
@@ -271,7 +270,6 @@ def dequantize(data, t: GGMLType, n: int) -> np.ndarray:
             data, (bytes, bytearray, memoryview)
         ) else np.asarray(data, np.uint8).reshape(-1)[: n * 4].view("<f4").copy()
     if t == GGMLType.F16:
-        b = _blocks(data, GGMLType.I16, n * 0 + n)  # raw 2-byte rows
         b = np.frombuffer(data, "<f2", count=n) if isinstance(
             data, (bytes, bytearray, memoryview)
         ) else np.asarray(data, np.uint8).reshape(-1)[: n * 2].view("<f2")
@@ -592,6 +590,64 @@ def _make_qx_quants(xs, nmax, rmse_type=1):
     return best_scale, best_q
 
 
+def _make_qkx2_quants(xs, nmax, weights, rmin, rdelta, nstep, use_mad):
+    """Vectorized make_qkx2_quants (k_quants.c:229-303): the weighted
+    grid-search min/scale fit the reference uses for Q2_K/Q4_K/Q5_K.
+    x ≈ scale*L - the_min with L in [0, nmax]; returns (scale, L, the_min)
+    over the leading group axes."""
+    mn = xs.min(axis=-1)
+    mx = xs.max(axis=-1)
+    sum_w = weights.sum(axis=-1)
+    sum_x = (weights * xs).sum(axis=-1)
+    mn = np.where(mn > 0, 0.0, mn)
+    flat = mx == mn
+    span = np.where(flat, 1.0, mx - mn)
+    iscale = nmax / span
+    scale = 1.0 / iscale
+    L = np.clip(_nearest_int(iscale[..., None] * (xs - mn[..., None])), 0, nmax)
+    diff = scale[..., None] * L + mn[..., None] - xs
+    diff = np.abs(diff) if use_mad else diff * diff
+    best_mad = (weights * diff).sum(axis=-1)
+    cur_min = mn.copy()
+    for step in range(nstep + 1):
+        isc = (rmin + rdelta * step + nmax) / span
+        l = np.clip(_nearest_int(isc[..., None] * (xs - mn[..., None])), 0, nmax)
+        wl = weights * l
+        sum_l = wl.sum(axis=-1)
+        sum_l2 = (wl * l).sum(axis=-1)
+        sum_xl = (wl * xs).sum(axis=-1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        ok = D > 0
+        Dsafe = np.where(ok, D, 1.0)
+        this_scale = (sum_w * sum_xl - sum_x * sum_l) / Dsafe
+        this_min = (sum_l2 * sum_x - sum_l * sum_xl) / Dsafe
+        pos = this_min > 0
+        # D > 0 implies sum_l2 > 0
+        this_scale = np.where(
+            pos, sum_xl / np.where(sum_l2 > 0, sum_l2, 1.0), this_scale
+        )
+        this_min = np.where(pos, 0.0, this_min)
+        diff = this_scale[..., None] * l + this_min[..., None] - xs
+        diff = np.abs(diff) if use_mad else diff * diff
+        mad = (weights * diff).sum(axis=-1)
+        better = ok & (mad < best_mad)
+        best_mad = np.where(better, mad, best_mad)
+        scale = np.where(better, this_scale, scale)
+        cur_min = np.where(better, this_min, cur_min)
+        L = np.where(better[..., None], l, L)
+    # flat groups short-circuit in the reference (L=0, scale 0, -min)
+    scale = np.where(flat, 0.0, scale)
+    L = np.where(flat[..., None], 0, L)
+    the_min = np.where(flat, -mn, -cur_min)
+    return scale, L, the_min
+
+
+def _qkx2_weights_avx(groups):
+    """Q4_K/Q5_K weighting: av_x + |x| per group (k_quants.c:693-696)."""
+    av_x = np.sqrt((groups * groups).mean(axis=-1, keepdims=True))
+    return av_x + np.abs(groups)
+
+
 def _make_qkx1_quants(xs, nmax, ntry=5):
     """Vectorized make_qkx1_quants (k_quants.c:282): x ≈ d*q - min, q>=0."""
     mn = xs.min(axis=-1)
@@ -617,13 +673,23 @@ def _make_qkx1_quants(xs, nmax, ntry=5):
         if not did.any():
             break
     l = np.clip(_nearest_int(iscale[..., None] * (xs - mn[..., None])), 0, nmax)
-    return scale, l, -mn
+    # flat (max == min) groups: the reference returns scale 0, L = 0,
+    # min 0 BEFORE any iteration (k_quants.c:194-198) — without this an
+    # all-zero group reports scale 1/nmax and inflates the superblock
+    # max_scale, degrading every other group's quantized scale
+    scale = np.where(flat, 0.0, scale)
+    l = np.where(flat[..., None], 0, l)
+    return scale, l, np.where(flat, 0.0, -mn)
 
 
 def _q_q2_K(xb):
     nb = xb.shape[0]
     groups = xb.reshape(nb, 16, 16)
-    scales, L, mins = _make_qkx1_quants(groups, 3, ntry=5)
+    # reference weighting: |x| per element (k_quants.c:335-336)
+    scales, L, mins = _make_qkx2_quants(
+        groups, 3, np.abs(groups), rmin=-0.5, rdelta=0.1, nstep=15,
+        use_mad=True,
+    )
     # zero-scale groups produce L=0 in reference (loop sets L=0 when scale==0)
     max_scale = scales.max(axis=1)
     max_min = mins.max(axis=1)
@@ -693,9 +759,16 @@ def _q_q3_K(xb):
 
 
 def _qkx_45(xb, nmax, ntry):
+    del ntry  # qkx1 legacy knob; qkx2 params are per-format below
     nb = xb.shape[0]
     groups = xb.reshape(nb, 8, 32)
-    scales, L, mins = _make_qkx1_quants(groups, nmax, ntry=ntry)
+    # Q4_K: (rmin -1, nstep 20); Q5_K: (rmin -0.5, nstep 15)
+    # (k_quants.c:697, 869)
+    rmin, nstep = (-1.0, 20) if nmax == 15 else (-0.5, 15)
+    scales, L, mins = _make_qkx2_quants(
+        groups, nmax, _qkx2_weights_avx(groups), rmin=rmin, rdelta=0.1,
+        nstep=nstep, use_mad=False,
+    )
     max_scale = scales.max(axis=1)
     max_min = mins.max(axis=1)
     inv_scale = np.where(max_scale > 0, 63.0 / np.where(max_scale > 0, max_scale, 1), 0.0)

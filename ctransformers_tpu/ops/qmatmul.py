@@ -1379,9 +1379,27 @@ def _pick_tiles(x, qt: QTensor):
 
     from ..logger import logger
 
+    # race at the kernel's REAL operand shapes: _qmm_pallas pads m to the
+    # sublane multiple and K to the storage rows before the tiled call, so
+    # an unpadded operand here would rank candidates on out-of-bounds
+    # block reads at a different m (and poison the cache under the padded
+    # key). The XLA candidate gets the LOGICAL-K slice instead — its
+    # dequant+GEMM contracts over k, and feeding it kr-padded columns
+    # made it fail to compile and silently drop out of the race on
+    # K-padded shapes (e.g. llama's 11008->11264).
+    kr = kp * 2 if qt.packed else kp
+    k_logical = qt.shape[0]
+    x_pal = x.astype(jnp.float32)
+    if x_pal.shape != (mp, kr):
+        x_pal = jnp.pad(
+            x_pal,
+            ((0, mp - x_pal.shape[0]), (0, kr - x_pal.shape[1])),
+        )
+    x_xla = x_pal[:, :k_logical]
+
     reps = 32
 
-    def _loop(make_call, nwork=1):
+    def _loop(make_call, xop, nwork=1):
         # time INSIDE a scan: serialized repeats in one dispatch, so the
         # flat ~24-30 ms per-dispatch tunnel round-trip (EVERY dispatch
         # pays it; it can drift to 45+ ms in bad hours) amortizes across
@@ -1405,11 +1423,11 @@ def _pick_tiles(x, qt: QTensor):
             return c
 
         f = jax.jit(loop)
-        np.asarray(f(x, qt))  # compile + warm
+        np.asarray(f(xop, qt))  # compile + warm
 
         def run():
             t0 = time.perf_counter()
-            np.asarray(f(x, qt))
+            np.asarray(f(xop, qt))
             return time.perf_counter() - t0
 
         return run
@@ -1426,7 +1444,8 @@ def _pick_tiles(x, qt: QTensor):
                 (tk, tn, inner, mode),
                 _loop(
                     lambda xx, qq, _tk=tk, _tn=tn, _i=inner, _m=mode:
-                    _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m)
+                    _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m),
+                    x_pal,
                 ),
             ))
         except Exception as e:
@@ -1455,7 +1474,7 @@ def _pick_tiles(x, qt: QTensor):
         return _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
 
     try:
-        entries.append((("xla",), _loop(_qmm_jnp_nohoist)))
+        entries.append((("xla",), _loop(_qmm_jnp_nohoist, x_xla)))
     except Exception:
         pass
 
@@ -1465,12 +1484,15 @@ def _pick_tiles(x, qt: QTensor):
     # poison the on-disk cache. The control's TRUE time comes from the
     # marginal (1x-vs-4x chained) slope: a single-depth reading would be
     # dominated by the ~30ms/reps dispatch round-trip share.
-    wd = jnp.zeros((x.shape[1], npad), jnp.bfloat16)
+    wd = jnp.zeros((x_pal.shape[1], npad), jnp.bfloat16)
     dense = lambda xx, qq, _w=wd: jnp.dot(  # noqa: E731
         xx.astype(jnp.bfloat16), _w, preferred_element_type=jnp.float32
     )
     try:
-        control_fs = (_loop(dense, nwork=1), _loop(dense, nwork=4))
+        control_fs = (
+            _loop(dense, x_pal, nwork=1),
+            _loop(dense, x_pal, nwork=4),
+        )
     except Exception:
         control_fs = None
 

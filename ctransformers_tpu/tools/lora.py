@@ -56,6 +56,10 @@ def read_ggla(path: str):
             ne[i] = i32()
         name = data[pos : pos + name_len].decode("utf-8")
         pos += name_len
+        # tensor payloads are 32-byte aligned (llama.cpp:5150,
+        # `offset = (offset + 31) & -32`) — real llama.cpp-produced
+        # adapters are misread without this
+        pos = (pos + 31) & -32
         count = ne[0] * ne[1]
         if ftype == 0:
             arr = np.frombuffer(data, "<f4", count=count, offset=pos)
@@ -145,6 +149,7 @@ def write_ggla(path: str, lora_r: int, lora_alpha: int, pairs) -> None:
             out += struct.pack("<iii", 2, len(name), 0)
             out += struct.pack("<ii", *ne)
             out += name
+            out += b"\0" * (-len(out) & 31)  # 32-byte payload alignment
             out += arr.tobytes()
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -21,7 +21,10 @@ from ..utils import is_gguf
 
 # names never quantized (normalization/bias vectors are 1-D anyway; these
 # cover 2-D exceptions)
-_SKIP_SUBSTRINGS = ("norm", "bias", "ln_", "/g", "/b")
+# positional embeddings stay F32: every reference example loader
+# allocates wpe as GGML_TYPE_F32 regardless of ftype (gpt2.cc:215,
+# starcoder.cc:241), so a quantized wpe makes the file unloadable there
+_SKIP_SUBSTRINGS = ("norm", "bias", "ln_", "/g", "/b", "wpe", "position_embd")
 
 K_QUANTS = {
     GGMLType.Q2_K,
@@ -95,7 +98,8 @@ def _kv_roundtrip(r: GGUFReader, key: str):
 
 
 def _ftype_code(t: GGMLType) -> int:
-    # ggml ftype codes (ggml.h:319-334)
+    # llama_ftype codes for GGUF general.file_type (llama.h LLAMA_FTYPE_*;
+    # k-quants map to the _M variants: Q4_K_M=15, Q5_K_M=17, Q6_K=18)
     codes = {
         GGMLType.F32: 0,
         GGMLType.F16: 1,
@@ -109,6 +113,29 @@ def _ftype_code(t: GGMLType) -> int:
         GGMLType.Q4_K: 15,
         GGMLType.Q5_K: 17,
         GGMLType.Q6_K: 18,
+    }
+    return codes.get(GGMLType(t), 0)
+
+
+def _ggml_ftype_code(t: GGMLType) -> int:
+    # ggml_ftype codes for LEGACY binary headers (ggml.h:319-334) — these
+    # differ from llama_ftype for k-quants: Q4_K=12, Q5_K=13, Q6_K=14.
+    # The example-model loaders decode the header through
+    # ggml_ftype_to_ggml_type (ggml.c:4196), which has no case for the
+    # llama codes and aborts the load.
+    codes = {
+        GGMLType.F32: 0,
+        GGMLType.F16: 1,
+        GGMLType.Q4_0: 2,
+        GGMLType.Q4_1: 3,
+        GGMLType.Q8_0: 7,
+        GGMLType.Q5_0: 8,
+        GGMLType.Q5_1: 9,
+        GGMLType.Q2_K: 10,
+        GGMLType.Q3_K: 11,
+        GGMLType.Q4_K: 12,
+        GGMLType.Q5_K: 13,
+        GGMLType.Q6_K: 14,
     }
     return codes.get(GGMLType(t), 0)
 
@@ -164,7 +191,8 @@ def quantize_legacy(
         for v in floats:
             w._f.write(struct.pack("<f", v))
         w.write_i32(
-            _ftype_code(target) + GGML_QNT_VERSION * GGML_QNT_VERSION_FACTOR
+            _ggml_ftype_code(target)
+            + GGML_QNT_VERSION * GGML_QNT_VERSION_FACTOR
         )
         if repeated:
             w.write_i32(n_vocab)

@@ -157,7 +157,10 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             # bias fold shows up as 10-100%).
             scale = np.abs(ref).max()
             fro = np.linalg.norm(got - ref) / np.linalg.norm(ref)
-            assert fro < 0.02, f"{tag}: frobenius rel err {fro:.4f}"
+            # 2.5%: Q2_K with the qkx2 encoder lands at 2.1% on this seed
+            # (bf16 rounding over near-cancelling 2-bit outputs); a wrong
+            # bias fold still reads 10-100%
+            assert fro < 0.025, f"{tag}: frobenius rel err {fro:.4f}"
             amax = np.abs(got - ref).max()
             assert amax < 0.03 * scale, (
                 f"{tag}: max abs err {amax:.4f} vs scale {scale:.4f}"

@@ -90,3 +90,26 @@ def test_ggjt_to_gguf_conversion(tmp_path):
         np.testing.assert_allclose(
             new, np.array(list(ref.logits), np.float32), atol=0.05, rtol=0
         )
+
+
+def test_quantize_legacy_kquant_loads_in_reference(tmp_path):
+    """Legacy headers need ggml_ftype codes (Q4_K=12, not llama-ftype 15):
+    the reference decodes them via ggml_ftype_to_ggml_type (ggml.c:4196),
+    which aborts on the llama codes."""
+    src = str(tmp_path / "f32.bin")
+    dst = str(tmp_path / "q.bin")
+    fx.build_gpt2(src, n_embd=256, n_head=4, seed=64)
+    quantize_file(src, dst, "q4_k", model_type="gpt2")
+
+    base = _logits(src, "gpt2")
+    quant = _logits(dst, "gpt2")
+    # Q4_K on tiny random weights is genuinely lossy; the hard check is
+    # below — the reference engine loads the file and agrees on logits
+    assert np.corrcoef(base, quant)[0, 1] > 0.95
+
+    ref = fx.ref_llm(dst, "gpt2")
+    if ref is not None:
+        ref.eval([5, 9, 2])
+        np.testing.assert_allclose(
+            quant, np.array(list(ref.logits), np.float32), atol=0.2, rtol=0
+        )

@@ -148,3 +148,28 @@ def test_quantize_kquant_quality(t):
     rmse_ours = np.sqrt(np.mean((ours - x) ** 2))
     rmse_ref = np.sqrt(np.mean((ref - x) ** 2))
     assert rmse_ours <= rmse_ref * 1.05, f"{t.name}: {rmse_ours} vs ref {rmse_ref}"
+
+
+@needs_oracle
+@pytest.mark.parametrize("t", KQUANTS)
+def test_quantize_kquant_flat_groups(t):
+    """Flat (all-equal) groups must return scale 0 like the reference
+    (k_quants.c:194-198) — an inflated zero-group scale poisons the
+    superblock max and wipes out the other groups' precision."""
+    from .oracle import ref_has_to_float
+
+    if not ref_has_to_float(int(t)):
+        pytest.skip("reference has no to_float for this type")
+    n = Q.block_size(t) * 4
+    rng = np.random.RandomState(8)
+    x = (rng.randn(n) * 0.01).astype(np.float32)
+    x[:16] = 0.0  # one flat group inside the first superblock
+    x[64:96] = 0.0
+    ours = Q.dequantize(Q.quantize(x, t), t, n)
+    ref = ref_dequantize(ref_quantize(x, int(t)), int(t), n)
+    rmse_ours = np.sqrt(np.mean((ours - x) ** 2))
+    rmse_ref = np.sqrt(np.mean((ref - x) ** 2))
+    assert rmse_ours <= rmse_ref * 1.05, f"{t.name}: {rmse_ours} vs {rmse_ref}"
+    # all-zero input encodes to exact zeros
+    z = Q.dequantize(Q.quantize(np.zeros(n, np.float32), t), t, n)
+    assert np.all(z == 0), t.name
