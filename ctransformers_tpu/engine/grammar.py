@@ -50,23 +50,23 @@ class _Parser:
     # -- lexing helpers ----------------------------------------------------
 
     def _ws(self) -> None:
-        while self.pos < len(self.text):
-            c = self.text[self.pos]
-            if c == "#":
-                while self.pos < len(self.text) and self.text[self.pos] != "\n":
-                    self.pos += 1
-            elif c in " \t\r\n":
-                self.pos += 1
-            else:
-                break
+        self._space(newline_ok=True)
 
     def _ws_inline(self) -> None:
+        self._space(newline_ok=False)
+
+    def _space(self, newline_ok: bool) -> None:
+        """Skip spaces/tabs/comments; newlines only when `newline_ok` —
+        the grammar-parser.cpp rule: newlines are allowed right after
+        '::=', after '|', and inside parentheses, while a bare newline
+        after an atom at top level ends the rule. This is what lets the
+        canonical multi-line grammars (json.gbnf etc.) parse."""
         while self.pos < len(self.text):
             c = self.text[self.pos]
             if c == "#":
                 while self.pos < len(self.text) and self.text[self.pos] != "\n":
                     self.pos += 1
-            elif c in " \t":
+            elif c in " \t" or (newline_ok and c in "\r\n"):
                 self.pos += 1
             else:
                 break
@@ -129,6 +129,7 @@ class _Parser:
             name = self._name()
             self._ws_inline()
             self._expect("::=")
+            self._space(newline_ok=True)  # body may start on the next line
             rid = self._rule_id(name)
             elems = self._alternates(name)
             self.rules[rid] = elems
@@ -144,22 +145,22 @@ class _Parser:
                 raise GrammarParseError(f"undefined rule '{name}'")
         return out, self.rule_ids["root"]
 
-    def _alternates(self, base: str) -> List[Element]:
-        elems = self._sequence(base)
-        self._ws_inline()
+    def _alternates(self, base: str, nested: bool = False) -> List[Element]:
+        elems = self._sequence(base, nested)
+        self._space(newline_ok=nested)
         while self.pos < len(self.text) and self.text[self.pos] == "|":
             self.pos += 1
-            self._ws_inline()
+            self._space(newline_ok=True)  # alternates may continue next line
             elems.append((ALT, 0))
-            elems += self._sequence(base)
-            self._ws_inline()
+            elems += self._sequence(base, nested)
+            self._space(newline_ok=nested)
         elems.append((END, 0))
         return elems
 
-    def _sequence(self, base: str) -> List[Element]:
+    def _sequence(self, base: str, nested: bool = False) -> List[Element]:
         out: List[Element] = []
         while True:
-            self._ws_inline()
+            self._space(newline_ok=nested)
             if self.pos >= len(self.text):
                 break
             c = self.text[self.pos]
@@ -187,17 +188,13 @@ class _Parser:
                         self.pos += 1
                         out.append((CHAR_RNG_UPPER, self._char()))
                 self.pos += 1
-                start_len = len(out)  # repetition wraps the whole class
-                # find where this char class started
-                i = len(out) - 1
-                while i > 0 and out[i][0] in (CHAR_ALT, CHAR_RNG_UPPER):
-                    i -= 1
-                start_len = i
+                # start_len from before the branch already marks the class
+                # start — a repetition operator wraps the whole class
             elif c == "(":
                 self.pos += 1
                 rid = self._fresh_rule(base)
-                self.rules[rid] = self._alternates(base)
-                self._ws_inline()
+                self.rules[rid] = self._alternates(base, nested=True)
+                self._space(newline_ok=True)
                 self._expect(")")
                 out.append((RULE_REF, rid))
                 start_len = len(out) - 1
@@ -238,7 +235,14 @@ class _Parser:
 
 def parse_gbnf(text: str) -> Tuple[List[List[Element]], int]:
     """-> (rules, root_rule_index)."""
-    return _Parser(text).parse()
+    try:
+        return _Parser(text).parse()
+    except GrammarParseError:
+        raise
+    except (IndexError, ValueError) as e:
+        # truncated strings / EOF escapes / bad hex digits surface from
+        # raw indexing and int() — callers catch GrammarParseError
+        raise GrammarParseError(f"malformed grammar: {e}") from e
 
 
 # ---------------------------------------------------------------------------
@@ -426,17 +430,20 @@ class Grammar:
         """llama_sample_grammar: -inf for tokens the grammar rejects."""
         out = np.array(logits, np.float32, copy=True)
         candidates = []
-        decoded = {}
         for tid in range(out.shape[0]):
             if tid == eos_token_id:
                 continue
             piece = detokenize(tid)
             if not piece:
+                # empty pieces (control tokens) are masked outright
+                # (llama_sample_grammar, llama.cpp:4109-4111) — leaving
+                # them samplable lets generation emit tokens that never
+                # advance the grammar
+                out[tid] = -np.inf
                 continue
             cps, partial = decode_utf8(
                 piece, self.partial_value, self.partial_remain
             )
-            decoded[tid] = (cps, partial)
             candidates.append((tid, 0, tuple(cps), partial))
         for idx, _, _, _ in self._reject(self.stacks, candidates):
             out[idx] = -np.inf

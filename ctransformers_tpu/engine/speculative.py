@@ -93,6 +93,11 @@ def decode_speculative(engine, draft, n: int, gamma: int = 4) -> List[int]:
         raise RuntimeError("decode_speculative() requires a prior eval()")
     if draft.spec.n_vocab != engine.spec.n_vocab:
         raise ValueError("draft and target vocabularies differ")
+    if engine.batch != 1 or draft.batch != 1:
+        raise ValueError(
+            "speculative decoding is single-stream (batch_size=1 engines);"
+            f" got target batch {engine.batch}, draft batch {draft.batch}"
+        )
     if draft.n_past != engine.n_past:
         raise ValueError(
             f"draft n_past {draft.n_past} != target {engine.n_past}; "

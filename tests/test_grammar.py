@@ -164,3 +164,72 @@ def test_constrained_generation_end_to_end(tmp_path):
         grammar='root ::= ("the" | " the" | "cat" | " cat")*',
     )
     assert set(out.replace(" ", "").replace("the", "").replace("cat", "")) == set()
+
+
+MULTILINE_JSON_GBNF = r"""
+# canonical llama.cpp-style multi-line grammar
+root   ::= object
+value  ::= object | array | string | number |
+           ("true" | "false" | "null") ws
+
+object ::=
+  "{" ws (
+            string ":" ws value
+    ("," ws string ":" ws value)*
+  )? "}" ws
+
+array  ::=
+  "[" ws (
+            value
+    ("," ws value)*
+  )? "]" ws
+
+string ::=
+  "\"" (
+    [^"\\] |
+    "\\" (["\\/bfnrt] | "u" [0-9a-fA-F] [0-9a-fA-F] [0-9a-fA-F] [0-9a-fA-F])
+  )* "\"" ws
+
+number ::= ("-"? ([0-9] | [1-9] [0-9]*)) ("." [0-9]+)? ([eE] [-+]? [0-9]+)? ws
+
+ws ::= ([ \t\n] ws)?
+"""
+
+
+def test_multiline_grammar_parses_and_accepts_json():
+    from ctransformers_tpu.engine.grammar import Grammar, parse_gbnf
+
+    rules, root = parse_gbnf(MULTILINE_JSON_GBNF)
+    g = Grammar(rules, root)
+    for ch in '{"a": [1, true, "x\\n"], "b": {"c": -2.5e3}}':
+        g._accept_char(ord(ch))
+        assert g.stacks, f"grammar died at {ch!r}"
+    assert g.can_stop()
+
+
+def test_malformed_grammar_raises_parse_error():
+    from ctransformers_tpu.engine.grammar import (
+        GrammarParseError,
+        parse_gbnf,
+    )
+
+    for bad in ('root ::= "abc', 'root ::= "a" [x', r'root ::= "\x"',
+                r'root ::= "\u12"'):
+        with pytest.raises(GrammarParseError):
+            parse_gbnf(bad)
+
+
+def test_empty_piece_tokens_are_masked():
+    """Control tokens that detokenize to b'' must get -inf
+    (llama_sample_grammar, llama.cpp:4109-4111) — otherwise sampling can
+    emit tokens that never advance the grammar."""
+    from ctransformers_tpu.engine.grammar import Grammar, parse_gbnf
+
+    rules, root = parse_gbnf('root ::= "ab"')
+    g = Grammar(rules, root)
+    pieces = {0: b"", 1: b"", 2: b"a", 3: b"b"}
+    logits = np.zeros(4, np.float32)
+    out = g.filter_logits(logits, lambda t: pieces[t], eos_token_id=0)
+    assert out[1] == -np.inf  # empty piece masked
+    assert out[2] == 0.0  # 'a' allowed
+    assert out[3] == -np.inf  # 'b' rejected first
