@@ -55,6 +55,37 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_pod_mesh(
+    n_hosts: int,
+    devices_per_host: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Multi-host ("data", "model") mesh for a pod slice: the model
+    (tensor-parallel) axis stays WITHIN each host's devices so its
+    per-matmul collectives ride ICI, and the data axis spans hosts so
+    only batch-level traffic crosses DCN — the layout the scaling-book
+    recipe prescribes (and the reference, single-process, never needed:
+    SURVEY.md §2.3).
+
+    Under a real multi-host runtime jax.devices() already enumerates
+    devices host-major (process 0's first), so reshaping (n_hosts,
+    per_host) keeps TP groups host-local; the same holds for the
+    virtual CPU mesh used in tests."""
+    if devices is None:
+        devices = jax.devices()
+    if devices_per_host is None:
+        if len(devices) % n_hosts:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by {n_hosts} hosts"
+            )
+        devices_per_host = len(devices) // n_hosts
+    need = n_hosts * devices_per_host
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_hosts, devices_per_host)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
 # -- sharding rules -----------------------------------------------------------
 
 # weight name -> PartitionSpec for the (in, out) weight layout of

@@ -148,3 +148,41 @@ def test_load_state_preserves_kv_sharding():
     eng.eval([4], n_past=3)
     eng.rewind(4)
     assert len(eng.decode(2, temperature=0.0, repetition_penalty=1.0)) == 2
+
+
+def test_pod_mesh_keeps_tp_host_local():
+    """make_pod_mesh: every model-axis (TP) group lives inside one host's
+    device block, so TP collectives ride ICI; data spans hosts (DCN)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = pmesh.make_pod_mesh(n_hosts=2, devices_per_host=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    for h in range(2):
+        assert list(mesh.devices[h]) == list(devs[h])
+
+
+def test_pod_mesh_sharded_forward_matches_single_device():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = LLAMA_TINY
+    params = random_params(spec, seed=3)
+    tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6) % spec.n_vocab
+
+    kv = KVCache.create(spec, batch=2)
+    ref, _, _ = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c))(
+        params, jnp.broadcast_to(tokens, (2, 6)), jnp.int32(0), kv
+    )
+
+    mesh = pmesh.make_pod_mesh(n_hosts=2, devices_per_host=4)
+    sp = pmesh.shard_params(params, mesh)
+    skv = pmesh.shard_kv(KVCache.create(spec, batch=2), spec, mesh)
+    toks = jax.device_put(
+        jnp.broadcast_to(tokens, (2, 6)), pmesh.token_sharding(mesh)
+    )
+    tp, _, _ = jax.jit(lambda p, t, n, c: forward(spec, p, t, n, c))(
+        sp, toks, jnp.int32(0), skv
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(tp), atol=1e-4, rtol=1e-4
+    )
