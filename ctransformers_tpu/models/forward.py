@@ -59,16 +59,18 @@ def _ablate() -> frozenset:
 
 def kv_head_major() -> bool:
     """KV cache storage layout, read at trace/create time from
-    CT_KV_LAYOUT: "hm" (default) stores (L, B, Hkv, S, dh) so every
-    attention read streams a CONTIGUOUS (S, dh) plane per (batch, head) —
-    the einsum's k-side access is sequential in HBM. "sm" keeps the
-    projection-order (L, B, S, Hkv, dh) where per-head reads stride by
-    Hkv*dh (how the reference lays its cache, llama.cpp:913-933). Decode
-    reads outweigh writes ~S:1, so the read-contiguous layout wins; "sm"
-    is kept for hardware A/B."""
+    CT_KV_LAYOUT: "sm" (default) keeps the projection-order
+    (L, B, S, Hkv, dh) — the layout the reference uses
+    (llama.cpp:913-933); "hm" stores (L, B, Hkv, S, dh) so per-head reads
+    are contiguous. Hardware A/B (scripts/probe_attention.py, v5e
+    2026-08-19) contradicted the contiguity theory: XLA's decode einsum
+    over sm ran 18.7 us/layer at B=1 and 121 us at B=8 vs hm's 20.9/181 —
+    XLA vectorizes the (Hkv*dh)-strided sm reads into wider transfers
+    than per-head hm streaming. "hm" is kept for A/B and the Pallas
+    decode kernel (which requires it)."""
     import os
 
-    return os.environ.get("CT_KV_LAYOUT", "hm") != "sm"
+    return os.environ.get("CT_KV_LAYOUT", "sm") == "hm"
 
 
 class KVCache(NamedTuple):

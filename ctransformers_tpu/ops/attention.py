@@ -39,9 +39,9 @@ def _kernel(
     q_ref,  # (1, 1, dh, rep) query block (pre-scaled), cache dtype
     k_ref,  # (1, 1, 1, c, dh) K block
     v_ref,  # (1, 1, 1, c, dh) V block
-    ks_ref,  # (1, 1, 1, c) or None — int8 K scales
-    vs_ref,  # (1, 1, 1, c) or None — int8 V scales
-    sl_ref,  # (1, rep) or None — alibi slopes for this kv-head's q heads
+    ks_ref,  # (1, 1, 1, n_s, c) or None — int8 K scales, all chunks
+    vs_ref,  # (1, 1, 1, n_s, c) or None — int8 V scales
+    sl_ref,  # (1, 1, rep) or None — alibi slopes for this kv-head's q heads
     out_ref,  # (1, 1, rep, dh) f32
     m_scr,  # (rep, 128) f32 scratch (col 0 used)
     l_scr,  # (rep, 128) f32
@@ -69,15 +69,18 @@ def _kernel(
         k_blk = k_blk.astype(jnp.float32).astype(cdt)
         v_blk = v_blk.astype(jnp.float32).astype(cdt)
 
+    from .qmatmul import _dot_prec
+
     q_blk = q_ref[0, 0]  # (dh, rep)
     # scores (rep, c): contract dh (lhs dim 0, rhs dim 1)
     scores = jax.lax.dot_general(
         q_blk, k_blk,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_prec(cdt),
     ).reshape(rep, chunk)
     if quant:
-        scores = scores * ks_ref[0, 0, 0].reshape(1, chunk)
+        scores = scores * ks_ref[0, 0, 0, j].reshape(1, chunk)
 
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + j * chunk
     if alibi:
@@ -93,11 +96,12 @@ def _kernel(
     p = jnp.exp(scores - m_safe)  # (rep, c)
     l_scr[:, :1] = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     if quant:
-        p = p * vs_ref[0, 0, 0].reshape(1, chunk)
+        p = p * vs_ref[0, 0, 0, j].reshape(1, chunk)
     pv = jax.lax.dot_general(
         p.astype(cdt), v_blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_prec(cdt),
     )  # (rep, dh)
     acc_scr[...] = acc_scr[...] * alpha + pv
     m_scr[:, :1] = m_new
@@ -162,23 +166,32 @@ def decode_attention(
     ]
     args = [qt, kv_k, kv_v]
     if quant:
+        # Mosaic needs the last two block dims (8,128)-divisible or equal
+        # to the array's — a flat (1,1,1,chunk) scale block is neither. A
+        # free contiguous view (L,B,Hkv,S)->(L,B,Hkv,n_s,chunk) makes the
+        # whole per-head scale plane one legal (n_s, chunk) block (S*4 B
+        # of VMEM), DMA'd once per (batch, head); the kernel row-indexes
+        # chunk j dynamically (1-row dynamic loads are provable).
         spec_s = pl.BlockSpec(
-            (1, 1, 1, chunk),
-            lambda bi, hi, ji, il_r, np_r: (il_r[0], bi, hi, ji),
+            (1, 1, 1, n_s, chunk),
+            lambda bi, hi, ji, il_r, np_r: (il_r[0], bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         )
         in_specs += [spec_s, spec_s]
-        args += [k_scale, v_scale]
+        args += [
+            k_scale[..., :win].reshape(l, b, hkv, n_s, chunk),
+            v_scale[..., :win].reshape(l, b, hkv, n_s, chunk),
+        ]
     alibi = alibi_slopes is not None
     if alibi:
         in_specs.append(
             pl.BlockSpec(
-                (1, rep), lambda bi, hi, ji, il_r, np_r: (hi, 0),
+                (1, 1, rep), lambda bi, hi, ji, il_r, np_r: (hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         args.append(
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(hkv, rep)
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(hkv, 1, rep)
         )
 
     body = functools.partial(

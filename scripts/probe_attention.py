@@ -76,20 +76,25 @@ def main():
         print(f"bf16 KV read/layer/slot: {kv_bytes/1e6:.1f} MB; "
               f"SOL at 846 GB/s: {b*kv_bytes/846e9*1e6:.0f} us/layer")
 
+        # arrays are passed as marginal() ARGUMENTS, never closed over:
+        # closure arrays become jit constants embedded in the remote
+        # compile payload (67 MB/tensor at B=8 -> tunnel HTTP 413)
         cases = [
-            ("xla-hm", lambda x: xla_attn(x, k_hm[0], v_hm[0], n_past)),
-            ("xla-sm", lambda x: xla_attn(
-                x, k_sm[0], v_sm[0], n_past, hm=False)),
-            ("xla-i8", lambda x: xla_attn(
-                x, kq[0], vq[0], n_past, ks[0], vs[0])),
-            ("pallas", lambda x: decode_attention(
-                x, k_hm, v_hm, jnp.int32(1), n_past)),
-            ("pallas-i8", lambda x: decode_attention(
-                x, kq, vq, jnp.int32(1), n_past, k_scale=ks, v_scale=vs)),
+            ("xla-hm", lambda x, k, v: xla_attn(x, k, v, n_past),
+             (k_hm[0], v_hm[0])),
+            ("xla-sm", lambda x, k, v: xla_attn(x, k, v, n_past, hm=False),
+             (k_sm[0], v_sm[0])),
+            ("xla-i8", lambda x, k, v, a, c: xla_attn(
+                x, k, v, n_past, a, c), (kq[0], vq[0], ks[0], vs[0])),
+            ("pallas", lambda x, k, v: decode_attention(
+                x, k, v, jnp.int32(1), n_past), (k_hm, v_hm)),
+            ("pallas-i8", lambda x, k, v, a, c: decode_attention(
+                x, k, v, jnp.int32(1), n_past, k_scale=a, v_scale=c),
+             (kq, vq, ks, vs)),
         ]
-        for lab, fn in cases:
+        for lab, fn, extra in cases:
             try:
-                t, base = marginal(fn, q, reps=64, trials=2)
+                t, base = marginal(fn, q, *extra, reps=64, trials=2)
                 eff = b * kv_bytes / max(t, 1e-9) / 1e9
                 print(f"{lab:10s} {t*1e6:8.1f} us/layer  "
                       f"({eff:6.0f} GB/s eff over bf16 bytes)")
