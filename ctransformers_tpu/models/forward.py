@@ -74,8 +74,9 @@ def kv_head_major() -> bool:
 
 
 class KVCache(NamedTuple):
-    """Fixed-capacity per-layer cache: k/v are (L, B, Hkv, n_ctx, dh)
-    head-major (default) or (L, B, n_ctx, Hkv, dh) — see kv_head_major().
+    """Fixed-capacity per-layer cache: k/v are (L, B, n_ctx, Hkv, dh)
+    sequence-major (default) or (L, B, Hkv, n_ctx, dh) head-major — see
+    kv_head_major().
 
     With dtype=int8 the cache stores symmetric per-(token, head) quantized
     rows: k/v int8 plus f32 scale planes ks/vs over the same axes minus dh

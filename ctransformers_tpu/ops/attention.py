@@ -129,6 +129,13 @@ def decode_attention(
     """Returns the attention context (B, H, dh) f32 for one decode step."""
     l, b, hkv, s, dh = kv_k.shape
     h = q.shape[1]
+    if hkv == 0 or h % hkv or h < hkv:
+        raise ValueError(
+            f"decode_attention requires a head-major cache (L,B,Hkv,S,dh); "
+            f"got kv_k.shape={kv_k.shape} with q heads={h}. The default "
+            f"cache layout is sequence-major — create the cache under "
+            f"CT_KV_LAYOUT=hm (see models/forward.kv_head_major)."
+        )
     rep = h // hkv
     quant = k_scale is not None
     win = s if window is None else min(window, s)

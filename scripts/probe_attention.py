@@ -1,8 +1,8 @@
 """A/B the decode-attention implementations on hardware (honest timing).
 
 Times one llama-7B-shaped decode-attention layer step at B in {1, 8}:
-  xla-hm     XLA einsum over the head-major cache (current default)
-  xla-sm     XLA einsum over the sequence-major cache (old layout)
+  xla-sm     XLA einsum over the sequence-major cache (current default)
+  xla-hm     XLA einsum over the head-major cache (A/B alternative)
   pallas     ops.attention.decode_attention, bf16 cache
   xla-i8     XLA einsum over the int8 cache (factored scales)
   pallas-i8  kernel over the int8 cache

@@ -40,19 +40,19 @@ BENCH_MODE=batch BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch
 stage "bench single int8 KV"
 BENCH_KV=int8 timeout 3600 python bench.py || echo "bench single int8 failed"
 
-stage "bench batch seq-major KV layout (A/B control)"
-BENCH_MODE=batch CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench batch sm failed"
+stage "bench batch head-major KV layout (A/B control)"
+BENCH_MODE=batch CT_KV_LAYOUT=hm timeout 3600 python bench.py || echo "bench batch hm failed"
 
-stage "bench single seq-major KV layout (A/B control)"
-CT_KV_LAYOUT=sm timeout 3600 python bench.py || echo "bench single sm failed"
+stage "bench single head-major KV layout (A/B control)"
+CT_KV_LAYOUT=hm timeout 3600 python bench.py || echo "bench single hm failed"
 
 stage "bench single pallas attention kernel"
-CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench attnkernel failed"
+CT_KV_LAYOUT=hm CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench attnkernel failed"
 
 stage "bench batch pallas attention kernel"
-BENCH_MODE=batch CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench batch attnkernel failed"
+BENCH_MODE=batch CT_KV_LAYOUT=hm CT_ATTN_KERNEL=1 timeout 3600 python bench.py || echo "bench batch attnkernel failed"
 
 stage "bench batch pallas attention kernel + int8 KV"
-BENCH_MODE=batch CT_ATTN_KERNEL=1 BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch attnkernel int8 failed"
+BENCH_MODE=batch CT_KV_LAYOUT=hm CT_ATTN_KERNEL=1 BENCH_KV=int8 timeout 3600 python bench.py || echo "bench batch attnkernel int8 failed"
 
 stage "queue done"

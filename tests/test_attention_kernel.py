@@ -11,6 +11,15 @@ import pytest
 from ctransformers_tpu.ops.attention import decode_attention
 
 
+@pytest.fixture(autouse=True)
+def _head_major_layout(monkeypatch):
+    """The Pallas decode kernel requires the head-major (L,B,Hkv,S,dh)
+    cache layout; the production default is sequence-major (hardware A/B,
+    see models/forward.kv_head_major). Pin hm for this whole module so
+    KVCache.create and the kernel gate agree."""
+    monkeypatch.setenv("CT_KV_LAYOUT", "hm")
+
+
 def _oracle(q, k, v, n_past, window, alibi_slopes=None):
     """Masked softmax attention over cache[:, :, :window] (numpy, f64)."""
     b, h, dh = q.shape
@@ -148,8 +157,27 @@ def test_kernel_matches_forward_attention():
     assert out.shape == out2.shape
 
 
+@pytest.fixture
+def count_kernel_calls(monkeypatch):
+    """Wrap ops.attention.decode_attention with a trace-time call counter
+    so tests can assert the kernel path was actually taken (forward's
+    gate silently falls back to XLA when the layout is wrong — a vacuous
+    kernel-vs-XLA comparison must fail loudly instead)."""
+    import ctransformers_tpu.ops.attention as attn_mod
+
+    calls = []
+    real = attn_mod.decode_attention
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(attn_mod, "decode_attention", counted)
+    return calls
+
+
 @pytest.mark.parametrize("kv_dtype", ["f32", "int8"])
-def test_forward_with_kernel_matches_xla(kv_dtype):
+def test_forward_with_kernel_matches_xla(kv_dtype, count_kernel_calls):
     """CT_ATTN_KERNEL=1 routes decode steps through the Pallas kernel
     (interpret mode off-TPU) and must match the XLA einsum path."""
     import os
@@ -181,13 +209,15 @@ def test_forward_with_kernel_matches_xla(kv_dtype):
             os.environ.pop("CT_ATTN_KERNEL", None)
 
     ref = run(False)
+    assert not count_kernel_calls, "kernel ran with CT_ATTN_KERNEL=0"
     ker = run(True)
+    assert count_kernel_calls, "kernel path was never taken (gate is off)"
     assert np.array_equal(ref.argmax(-1), ker.argmax(-1))
     tol = 2e-2 if kv_dtype == "int8" else 2e-4  # kernel int8 dots are bf16
     np.testing.assert_allclose(ker, ref, atol=tol, rtol=tol)
 
 
-def test_forward_batched_with_kernel_matches_xla():
+def test_forward_batched_with_kernel_matches_xla(count_kernel_calls):
     import os
 
     from ctransformers_tpu.models.forward import KVCache, forward_batched
@@ -224,4 +254,5 @@ def test_forward_batched_with_kernel_matches_xla():
 
     ref = run(False)
     ker = run(True)
+    assert count_kernel_calls, "kernel path was never taken (gate is off)"
     np.testing.assert_allclose(ker, ref, atol=2e-4, rtol=2e-4)

@@ -1,9 +1,10 @@
-"""KV-cache storage layout A/B: head-major (default) vs sequence-major.
+"""KV-cache storage layout A/B: sequence-major (default) vs head-major.
 
-Head-major (L, B, Hkv, S, dh) makes every attention read a contiguous
-(S, dh) stream per (batch, head) — the layout the decode einsums are
-bandwidth-bound on. The sequence-major layout is kept under
-CT_KV_LAYOUT=sm for hardware A/B. Both must produce identical logits.
+Sequence-major (L, B, S, Hkv, dh) is the projection-order layout and the
+hardware A/B winner (XLA vectorizes its strided decode reads wider than
+per-head head-major streaming — see models/forward.kv_head_major).
+Head-major is kept under CT_KV_LAYOUT=hm for A/B and for the Pallas
+decode kernel. Both must produce identical logits.
 """
 
 import os
