@@ -105,6 +105,11 @@ class Engine:
 
     def _step(self, t: int, window: Optional[int] = None):
         if (t, window) not in self._steps:
+            if t > 1 and self.mesh is None:
+                # prefill chunk: race kernel tiles at this chunk's m
+                # before tracing (jit can't time; the race is disk-cached
+                # so this is one-time per (weight shape, m))
+                qm.autotune(self.params, batch_sizes=(self.batch * t,))
             spec = self.spec
             sharded = self.mesh is not None
 

@@ -394,10 +394,20 @@ def matmul(x: jnp.ndarray, w, precision=None) -> jnp.ndarray:
     return qmatmul(x, w)
 
 
-# beyond this many rows the matmul is FLOPs-bound, not HBM-bound, and
-# XLA's fused dequant+gemm (the jnp path) pipelines better than the
-# bandwidth-shaped kernel (measured on v5e)
-PALLAS_MAX_M = 32
+# decode (m<=32) vs prefill (m up to a full prompt chunk) share the same
+# dispatch: the autotuner races Pallas tile candidates against the
+# XLA-fused dequant+GEMM per (weight shape, m) and picks by timing. For
+# m>32 the candidate list is pruned to bf16-MXU-dot kernel modes (f32
+# MXU is ~8x slower — hopeless once the dot is FLOPs-relevant). The cap
+# only bounds which m values go through the race at all: above it the
+# XLA path is used unconditionally (its GSPMD partitionability also
+# matters on the TP path).
+PALLAS_MAX_M = 32  # historical decode cutoff, kept as the TP-path default
+
+
+def _m_cap() -> int:
+    """Largest m routed through the Pallas-vs-XLA race (CT_QMM_MAX_M)."""
+    return int(os.environ.get("CT_QMM_MAX_M", "1024"))
 
 
 def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
@@ -427,12 +437,12 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
                 compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
             )
         return out.reshape(*lead, n)
-    if on_tpu and _FORCE != "xla" and xm.shape[0] <= PALLAS_MAX_M:
+    if on_tpu and _FORCE != "xla" and xm.shape[0] <= _m_cap():
         # Hybrid dispatch: the autotuner race includes both Pallas tile
         # candidates AND the XLA-fused bf16 GEMM (XLA wins where its
         # dequant fusion holds — 22us vs 42us on 4096^2 — but regresses
         # 4x on shapes where fusion breaks and the dequantized weights
-        # materialize). The scan-timed race decides per weight shape.
+        # materialize). The scan-timed race decides per (weight shape, m).
         choice = _pick_tiles(xm, qt)
         if choice == ("xla",):
             out = _qmm_jnp(xm, qt, compute_dtype=jnp.bfloat16)
@@ -1058,7 +1068,8 @@ def _tile_divisor(dim: int, cap: int) -> int:
 
 
 def _tile_candidates(
-    kp: int, npad: int, packed: bool = False, layout: str = "ksplit"
+    kp: int, npad: int, packed: bool = False, layout: str = "ksplit",
+    mp: int = 8,
 ) -> list:
     """Candidate (TK, TN, inner, mode) tiles for the autotuner. Measured on
     v5e: large tiles (few grid steps) are mandatory for the int8 grid —
@@ -1099,6 +1110,17 @@ def _tile_candidates(
             (2048, 1024, 2, "b"),
             (4096, 1024, 4, "sb"),
         )
+    if mp > 32:
+        # prefill-size m: the dot is FLOPs-relevant, so only bf16-MXU-dot
+        # kernel modes can compete (f32 MXU is ~8x slower); the adjk 'i'
+        # family is bf16-dot already. Larger x blocks also shrink the
+        # VMEM budget for dequant buffers, so cap tk.
+        caps = tuple(
+            c for c in caps
+            if c[3].endswith("b") or c[3] in ("i", "si")
+        ) or caps[-1:]
+        caps = tuple((min(tk, 2048 if mp <= 256 else 1024), tn, i, m)
+                     for tk, tn, i, m in caps)
     cands = []
     for tk_cap, tn_cap, inner, mode in caps:
         tk = _tile_divisor(kp, tk_cap)
@@ -1367,7 +1389,7 @@ def _pick_tiles(x, qt: QTensor):
     )
     if key in _TILE_CACHE:
         return _TILE_CACHE[key]
-    cands = _tile_candidates(kp, npad, qt.packed, qt.pack_layout)
+    cands = _tile_candidates(kp, npad, qt.packed, qt.pack_layout, mp=mp)
     if isinstance(x, jax.core.Tracer):
         # under jit tracing we cannot time; use the mid-size heuristic.
         # Call autotune() eagerly (engine does at load) to do better.
@@ -1473,10 +1495,14 @@ def _pick_tiles(x, qt: QTensor):
             )
         return _qmm_jnp(xx, qq, compute_dtype=jnp.bfloat16)
 
-    try:
-        entries.append((("xla",), _loop(_qmm_jnp_nohoist, x_xla)))
-    except Exception:
-        pass
+    if _FORCE != "pallas":
+        # CT_QMATMUL=pallas drops the XLA candidate entirely — the clean
+        # end-to-end A/B lever (standalone XLA readings can be a fusion
+        # mirage that the big program does not reproduce).
+        try:
+            entries.append((("xla",), _loop(_qmm_jnp_nohoist, x_xla)))
+        except Exception:
+            pass
 
     # dense bf16 GEMM of the same logical shape as an absolute-bandwidth
     # CONTROL: the device/tunnel shows hour-scale slowdowns, under which
@@ -1556,7 +1582,7 @@ def _qmm_pallas(
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     if interpret:
         tk, tn, inner, mode = _tile_candidates(
-            rows, npad, qt.packed, qt.pack_layout
+            rows, npad, qt.packed, qt.pack_layout, mp=mp
         )[0]
     elif choice is not None and choice != ("xla",):
         tk, tn, inner, mode = choice
@@ -1564,7 +1590,7 @@ def _qmm_pallas(
         choice = _pick_tiles(x, qt)
         if choice == ("xla",):  # pragma: no cover - guarded above
             choice = _tile_candidates(
-                rows, npad, qt.packed, qt.pack_layout
+                rows, npad, qt.packed, qt.pack_layout, mp=mp
             )[0]
         tk, tn, inner, mode = choice
     out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret, mode=mode)

@@ -413,3 +413,42 @@ def test_fused_projections_match_unfused():
     a = np.asarray(f(base, toks, jnp.int32(0), KVCache.create(spec, 1)))
     b = np.asarray(f(fused, toks, jnp.int32(0), KVCache.create(spec, 1)))
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kind,layout",
+    [("Q4_K", "ksplit"), ("Q8_0", "ksplit"), ("Q6_K", "ksplit"),
+     ("Q4_K", "adjk"), ("Q4_0", "adjk")],
+)
+def test_qmm_kernel_prefill_m128(kind, layout, monkeypatch):
+    """Prefill-size activations (m=128) through every candidate the
+    autotuner may race at that m (the m>32 list is pruned to bf16-MXU-dot
+    modes). Guards the compute-bound prefill dispatch path."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("CT_PACK4_LAYOUT", layout)
+    rng = np.random.RandomState(11)
+    k, n, m = 512, 256, 128
+    w = _dense(rng, k, n)
+    qt = qm.quantize_qtensor(w, kind)
+    x = _dense(rng, m, k, scale=0.5)
+    ref = np.asarray(qm._qmm_jnp(x, qt))
+    xp = np.zeros((m, qt.qs.shape[0] * (2 if qt.packed else 1)), np.float32)
+    xp[:, :k] = x
+    cands = qm._tile_candidates(
+        qt.qs.shape[0], qt.qs.shape[1], qt.packed, qt.pack_layout, mp=m
+    )
+    assert all(md.endswith("b") or md in ("i", "si") for *_, md in cands), (
+        "m>32 candidates must all use bf16 MXU dots"
+    )
+    for tk, tn, inner, mode in cands:
+        got = np.asarray(
+            qm._qmm_pallas_tiled(
+                jnp.asarray(xp), qt, tk, tn, inner, interpret=True, mode=mode
+            )
+        )[:m, :n]
+        tag = f"{kind}/{layout} tile ({tk},{tn},{inner},{mode!r}) m=128"
+        scale = np.abs(ref).max()
+        fro = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert fro < 0.025, f"{tag}: frobenius rel err {fro:.4f}"
+        assert np.abs(got - ref).max() < 0.03 * scale, tag
