@@ -51,8 +51,12 @@ def sample_gpt(
     if rng is None:
         rng = np.random.RandomState(_resolve_seed(seed))
     n = logits.shape[0]
-    scale = 1.0 / temperature if temperature != 0 else np.inf
-    scaled = logits.astype(np.float64) * scale
+    # temperature <= 0 is greedy (penalty still applies). The reference
+    # multiplies by 1/temp here, which at temp=0 turns zero logits into
+    # NaN (0 * inf) and poisons the draw — greedy is the only sane
+    # reading and matches sample_llama / the device sampler.
+    greedy = temperature <= 0
+    scaled = logits.astype(np.float64) * (1.0 if greedy else 1.0 / temperature)
 
     for tok in set(int(t) for t in last_tokens):
         if 0 <= tok < n:
@@ -60,6 +64,9 @@ def sample_gpt(
                 scaled[tok] *= repetition_penalty
             else:
                 scaled[tok] /= repetition_penalty
+
+    if greedy:
+        return int(np.argmax(scaled))
 
     top_k = max(1, min(int(top_k) if top_k > 0 else n, n))
     idx = np.argpartition(-scaled, top_k - 1)[:top_k]

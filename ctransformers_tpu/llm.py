@@ -10,7 +10,6 @@ TPU instead of a ctypes-bound C++ library.
 from __future__ import annotations
 
 import inspect
-import re
 import warnings
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -30,7 +29,7 @@ from .engine.engine import Engine
 from .engine import sampler as samplers
 from .logger import logger
 from .models.registry import load_model
-from .utils import utf8_split_incomplete
+from .utils import TextStreamer
 
 
 @dataclass
@@ -62,39 +61,51 @@ class Config:
     mlock: bool = False
 
 
+# One-line help per Config knob, rendered into method docstrings by
+# @doc below and into README tables by scripts/docs.py. The knob set and
+# defaults mirror the reference's Config (llm.py:38-70); the wording here
+# is this project's own.
 docs = OrderedDict(
-    top_k="The top-k value to use for sampling.",
-    top_p="The top-p value to use for sampling.",
-    temperature="The temperature to use for sampling.",
-    repetition_penalty="The repetition penalty to use for sampling.",
-    last_n_tokens="The number of last tokens to use for repetition penalty.",
-    seed="The seed value to use for sampling tokens.",
-    max_new_tokens="The maximum number of new tokens to generate.",
-    stop="A list of sequences to stop generation when encountered.",
-    stream="Whether to stream the generated text.",
-    reset="Whether to reset the model state before generating text.",
-    batch_size="The batch size to use for evaluating tokens in a single prompt.",
-    threads="The number of threads to use for evaluating tokens.",
-    context_length="The maximum context length to use.",
-    gpu_layers="The number of layers to run on GPU.",
+    top_k="Keep only the `top_k` highest-probability tokens when sampling.",
+    top_p="Nucleus sampling: keep the smallest token set whose cumulative probability reaches `top_p`.",
+    temperature="Sampling temperature; lower sharpens the distribution, higher flattens it.",
+    repetition_penalty="Penalty applied to tokens that already appeared in the recent context.",
+    last_n_tokens="How far back the repetition penalty looks.",
+    seed="RNG seed for sampling; negative picks a fresh seed per call.",
+    max_new_tokens="Upper bound on the number of tokens generated per call.",
+    stop="Stop strings: generation halts when any of them appears in the output.",
+    stream="Return a generator that yields text chunks instead of one string.",
+    reset="Drop cached model state before evaluating (shared prompt prefixes are still reused).",
+    batch_size="Prompt tokens are evaluated in slices of this size.",
+    threads="CPU thread count (accepted for API parity; XLA owns scheduling on TPU).",
+    context_length="Override the model's maximum context window.",
+    gpu_layers="Layer-offload count (accepted for API parity; TPU weights are HBM-resident).",
+    guidance_scale="Classifier-free guidance strength; 1.0 (or None) disables CFG.",
+    negative_prompt="Context the guidance pass evaluates instead of the prompt (CFG).",
 )
 
 
 def doc(fn):
-    out = []
-    for param in inspect.signature(fn).parameters:
-        if param in docs:
-            default = getattr(Config, param)
-            out.append(f"{param}: {docs[param]} Default: `{default}`")
-    joined = ("\n" + " " * 12).join(out)
-    fn.__doc__ = fn.__doc__.format(params=joined)
+    """Fill a method docstring's `{params}` slot with the help lines for
+    every knob the method accepts, plus its Config default."""
+    lines = []
+    for name in inspect.signature(fn).parameters:
+        help_text = docs.get(name)
+        if help_text is None:
+            continue
+        default = getattr(Config, name, None)
+        suffix = "" if default is None and not hasattr(Config, name) else (
+            f" Default: `{default}`"
+        )
+        lines.append(f"{name}: {help_text}{suffix}")
+    indent = "\n" + " " * 12
+    fn.__doc__ = fn.__doc__.format(params=indent.join(lines))
     return fn
 
 
 def get(*values):
-    for value in values:
-        if value is not None:
-            return value
+    """First value that is not None (per-call kwarg beats Config default)."""
+    return next((v for v in values if v is not None), None)
 
 
 class LLM:
@@ -177,6 +188,9 @@ class LLM:
             if bundle.sampler == "llama"
             else samplers.sample_gpt
         )
+        # classifier-free guidance context, created on first use (a second
+        # Engine sharing the device-resident weights, with its own KV)
+        self._guidance: Optional[Engine] = None
 
     # -- properties ---------------------------------------------------------
 
@@ -440,6 +454,37 @@ class LLM:
         self._engine.rewind(l)
         return tokens
 
+    def _guidance_begin(
+        self, negative_prompt: Optional[str], prompt_tokens: Sequence[int]
+    ) -> None:
+        """Prepare the classifier-free-guidance context: a second Engine
+        over the same device-resident weights (its own KV cache — the
+        analog of the reference's second llama_context, whose logits
+        llama_sample_classifier_free_guidance blends, llama.cpp:4139-4173),
+        reset and prefilled with the negative prompt."""
+        if self._guidance is None:
+            self._guidance = Engine(
+                self._bundle.spec,
+                self._engine.params,
+                kv_dtype=self._engine.kv_dtype,
+            )
+        self._guidance.reset()
+        gtokens = self.tokenize(negative_prompt) if negative_prompt else []
+        if not gtokens:
+            # no negative prompt: guide on the bare sequence start (BOS
+            # where the model has one, else the prompt's first token)
+            gtokens = list(prompt_tokens[:1])
+        self._guidance.eval(gtokens, n_past=0)
+
+    @staticmethod
+    def _cfg_blend(base, guide, scale: float) -> np.ndarray:
+        """Blend main/guidance logits via the parity-tested sampler op."""
+        from .engine import sampler_suite as ss
+
+        c = ss.Candidates.from_logits(base)
+        ss.classifier_free_guidance(c, guide, scale)
+        return c.logits
+
     @doc
     def generate(
         self,
@@ -455,12 +500,20 @@ class LLM:
         threads: Optional[int] = None,
         reset: Optional[bool] = None,
         grammar=None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> Generator[int, None, None]:
         """Generates new tokens from a list of tokens.
 
         `grammar` constrains sampling to a GBNF grammar (text or a
         pre-built engine.grammar.Grammar) — the reference's
         llama_sample_grammar path (llama.cpp:4085-4124).
+
+        `guidance_scale`/`negative_prompt` enable classifier-free
+        guidance: a second context evaluates the negative prompt and each
+        sampled token; logits are blended before the sampler chain
+        (reference: llama_sample_classifier_free_guidance,
+        llama.cpp:4139-4173).
 
         Args:
             tokens: The list of tokens to generate tokens from.
@@ -473,15 +526,28 @@ class LLM:
             from .engine.grammar import Grammar
 
             grammar = Grammar.from_gbnf(grammar)
+        use_cfg = guidance_scale is not None and guidance_scale != 1.0
         detok = self._bundle.tokenizer.detokenize
         tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
+        if use_cfg:
+            self._guidance_begin(negative_prompt, tokens)
         self.eval(tokens, batch_size=batch_size, threads=threads)
         while True:
-            if grammar is not None:
+            saved = None
+            if use_cfg or grammar is not None:
                 saved = self._engine.logits
-                self._engine.logits = grammar.filter_logits(
-                    saved, detok, self.eos_token_id
-                )
+                blended = saved
+                if use_cfg:
+                    # CFG first (needs the unsorted full vocabulary), then
+                    # the grammar mask — matching the reference chain
+                    blended = self._cfg_blend(
+                        blended, self._guidance.logits, guidance_scale
+                    )
+                if grammar is not None:
+                    blended = grammar.filter_logits(
+                        blended, detok, self.eos_token_id
+                    )
+                self._engine.logits = blended
             token = self.sample(
                 top_k=top_k,
                 top_p=top_p,
@@ -490,10 +556,13 @@ class LLM:
                 last_n_tokens=last_n_tokens,
                 seed=seed,
             )
-            if grammar is not None:
+            if saved is not None:
                 self._engine.logits = saved
+            if grammar is not None:
                 grammar.accept_token(token, detok, self.eos_token_id)
             self.eval([token], batch_size=batch_size, threads=threads)
+            if use_cfg:
+                self._guidance.eval([token])
             if self.is_eos_token(token):
                 break
             yield token
@@ -514,6 +583,8 @@ class LLM:
         stop: Optional[Sequence[str]] = None,
         reset: Optional[bool] = None,
         grammar=None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> Generator[str, None, None]:
         config = self.config
         max_new_tokens = get(max_new_tokens, config.max_new_tokens)
@@ -523,10 +594,10 @@ class LLM:
 
         tokens = self.tokenize(prompt)
 
-        stop_regex = re.compile("|".join(map(re.escape, stop)))
+        # UTF-8 assembly + stop truncation + suffix holdback all live in
+        # TextStreamer (shared with the batch scheduler / HTTP server)
+        streamer = TextStreamer(stop)
         count = 0
-        text = ""
-        incomplete = b""
         for token in self.generate(
             tokens,
             top_k=top_k,
@@ -539,41 +610,21 @@ class LLM:
             threads=threads,
             reset=reset,
             grammar=grammar,
+            guidance_scale=guidance_scale,
+            negative_prompt=negative_prompt,
         ):
-            # Handle incomplete UTF-8 multi-byte characters.
-            incomplete += self.detokenize([token], decode=False)
-            complete, incomplete = utf8_split_incomplete(incomplete)
-            text += complete.decode(errors="ignore")
-
-            # Check if one of the stop sequences is part of the text.
-            # Note that the stop sequence may not always be at the end of text.
-            if stop:
-                match = stop_regex.search(text)
-                if match:
-                    text = text[: match.start()]
-                    break
-
-            # Avoid sending the longest suffix of text which is also a prefix
-            # of a stop sequence, as it can form a stop sequence with the text
-            # generated later.
-            longest = 0
-            for s in stop:
-                for i in range(len(s), 0, -1):
-                    if text.endswith(s[:i]):
-                        longest = max(i, longest)
-                        break
-
-            end = len(text) - longest
-            if end > 0:
-                yield text[:end]
-                text = text[end:]
-
+            chunk = streamer.feed(self.detokenize([token], decode=False))
+            if chunk:
+                yield chunk
+            if streamer.stopped:
+                break
             count += 1
             if count >= max_new_tokens:
                 break
 
-        if text:
-            yield text
+        tail = streamer.flush()
+        if tail:
+            yield tail
 
     @doc
     def __call__(
@@ -593,6 +644,8 @@ class LLM:
         stream: Optional[bool] = None,
         reset: Optional[bool] = None,
         grammar=None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> Union[str, Generator[str, None, None]]:
         """Generates text from a prompt.
 
@@ -620,6 +673,8 @@ class LLM:
             stop=stop,
             reset=reset,
             grammar=grammar,
+            guidance_scale=guidance_scale,
+            negative_prompt=negative_prompt,
         )
         if stream:
             return text

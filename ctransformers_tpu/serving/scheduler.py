@@ -38,6 +38,13 @@ class Request:
     seed: int = -1
     eos_token_id: Optional[int] = None
     sampler: str = "gpt"  # "gpt" | "llama" | "greedy"
+    # text-level stop strings (reference streaming semantics, llm.py:542-616;
+    # needs the scheduler's `detokenize` to be set). Generation ends at the
+    # first occurrence; Sequence.text is truncated exactly at the match.
+    stop: Optional[List[str]] = None
+    # streaming: called from the scheduler thread with each text chunk as
+    # it becomes safe to emit (stop-holdback applied)
+    on_text: Optional[Callable[[str], None]] = None
 
 
 @dataclasses.dataclass
@@ -49,8 +56,11 @@ class Sequence:
     prompt_len: int
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
     _key: Optional[object] = None  # per-request jax PRNG key (chunked decode)
     kv_start: int = 0  # KV rows [0, kv_start) inherited via prefix reuse
+    _streamer: Optional[object] = None  # utils.TextStreamer (stop/on_text)
+    text: str = ""  # emitted text (authoritative when stop strings trim)
 
     @property
     def all_tokens(self) -> List[int]:
@@ -65,14 +75,28 @@ class BatchScheduler:
         batch_slots: int = 8,
         kv_dtype=jnp.float32,
         prefix_reuse: bool = True,
+        mesh=None,
+        detokenize: Optional[Callable[[List[int]], bytes]] = None,
     ):
         """`prefix_reuse`: new requests skip prefill for the longest
         prompt prefix whose KV is already resident in SOME slot (the
         serving-level analog of the reference's session/LCP reuse,
         llm.py:469-500 — which is per-context only). Cross-slot hits copy
         the source slot's cache rows (one static jitted copy, ~0.3 ms per
-        slot for 7B); same-slot hits are free."""
+        slot for 7B); same-slot hits are free.
+
+        `mesh`: a ("data", "model") jax.sharding.Mesh — continuous
+        batching over a tensor-parallel model (the SURVEY §7 hard part:
+        multi-chip serving). Weights/KV are sharded exactly like
+        Engine(mesh=...); forward_batched runs under qmatmul.tp_ctx so
+        TP-partitioned quantized matmuls take the shard_map'd Pallas
+        path."""
         self.spec = spec
+        self.mesh = mesh
+        # tokens -> bytes/str; required for Request.stop strings and
+        # on_text streaming (text semantics shared with LLM._stream via
+        # utils.TextStreamer)
+        self.detokenize = detokenize
         from ..ops import qmatmul as qm
 
         def place(a):
@@ -85,6 +109,15 @@ class BatchScheduler:
         )
         self.slots = batch_slots
         self.kv = KVCache.create(spec, batch_slots, kv_dtype)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.params = pmesh.shard_params(self.params, mesh)
+            qm.autotune(
+                self.params, batch_sizes=(batch_slots,),
+                tp=int(mesh.shape.get(pmesh.MODEL_AXIS, 1)),
+            )
+            self.kv = pmesh.shard_kv(self.kv, spec, mesh)
         self.n_past = np.zeros(batch_slots, np.int32)
         self.free: List[int] = list(range(batch_slots))
         self.active: Dict[int, Sequence] = {}  # slot -> sequence
@@ -109,8 +142,16 @@ class BatchScheduler:
         (models.forward.round_window bucket over the live positions)."""
         if window not in self._step_fns:
             spec_ = self.spec
+            mesh = self.mesh
+            from ..ops import qmatmul as qm
 
             def step(params, tokens, n_past, kv, active):
+                if mesh is not None:
+                    with qm.tp_ctx(mesh):
+                        return forward_batched(
+                            spec_, params, tokens, n_past, kv, active,
+                            attn_window=window,
+                        )
                 return forward_batched(
                     spec_, params, tokens, n_past, kv, active,
                     attn_window=window,
@@ -131,8 +172,68 @@ class BatchScheduler:
             rng=np.random.RandomState(samplers._resolve_seed(request.seed)),
             prompt_len=len(request.tokens),
         )
+        if request.stop or request.on_text is not None:
+            if self.detokenize is None:
+                raise ValueError(
+                    "Request.stop/on_text need BatchScheduler(detokenize=...)"
+                )
+            from ..utils import TextStreamer
+
+            seq._streamer = TextStreamer(request.stop)
         self.waiting.append(seq)
         return seq.uid
+
+    def cancel(self, uid: int) -> bool:
+        """Abort a request: waiting requests are dropped immediately;
+        active ones stop at the next host checkpoint (every token in
+        step(), every chunk in step_chunk() — the amortized analog of the
+        reference's abort_callback, ggml.h:506-507). Returns True if the
+        uid was live."""
+        for i, seq in enumerate(self.waiting):
+            if seq.uid == uid:
+                seq.cancelled = seq.done = True
+                self.finished[uid] = self.waiting.pop(i)
+                return True
+        for slot, seq in self.active.items():
+            if seq.uid == uid:
+                seq.cancelled = True
+                return True
+        return False
+
+    # -- per-sequence text assembly (stop strings / streaming) ---------------
+
+    def _detok_bytes(self, tokens: List[int]) -> bytes:
+        out = self.detokenize(tokens)
+        return out.encode("utf-8") if isinstance(out, str) else bytes(out)
+
+    def _feed_text(self, seq: Sequence, tok: int) -> bool:
+        """Push one generated token through the sequence's TextStreamer;
+        returns True when a stop string completed (sequence must end)."""
+        st = seq._streamer
+        if st is None:
+            return False
+        chunk = st.feed(self._detok_bytes([tok]))
+        if chunk:
+            seq.text += chunk
+            if seq.request.on_text is not None:
+                seq.request.on_text(chunk)
+        return st.stopped
+
+    def _finish(self, seq: Sequence, done_uids: List[int]) -> None:
+        """Common end-of-sequence bookkeeping (EOS/limit/stop/cancel)."""
+        st = seq._streamer
+        if st is not None and not st.stopped:
+            tail = st.flush()
+            if tail:
+                seq.text += tail
+                if seq.request.on_text is not None:
+                    seq.request.on_text(tail)
+        seq.done = True
+        done_uids.append(seq.uid)
+        self.finished[seq.uid] = seq
+        del self.active[seq.slot]
+        self.free.append(seq.slot)
+        self.n_past[seq.slot] = 0
 
     def _admit(self) -> None:
         admitted: List[Sequence] = []
@@ -327,19 +428,18 @@ class BatchScheduler:
             self.n_past[slot] += 1
             self._slot_tokens[slot].append(tok)  # KV row written above
             is_eos = r.eos_token_id is not None and tok == r.eos_token_id
+            stopped = False
             if not is_eos:
                 seq.generated.append(tok)
+                stopped = self._feed_text(seq, tok)
             if (
                 is_eos
+                or stopped
+                or seq.cancelled
                 or len(seq.generated) >= r.max_new_tokens
                 or self.n_past[slot] >= self.spec.n_ctx - 1
             ):
-                seq.done = True
-                done_uids.append(seq.uid)
-                self.finished[seq.uid] = seq
-                del self.active[slot]
-                self.free.append(slot)
-                self.n_past[slot] = 0
+                self._finish(seq, done_uids)
         return done_uids
 
     # -- device-side chunked decode -----------------------------------------
@@ -358,7 +458,10 @@ class BatchScheduler:
         key_ = ("chunk", k, greedy_only, k_cap, window)
         if key_ not in self._chunk_fns:
             spec = self.spec
+            mesh = self.mesh
             from ..engine.sampler import sample_device_batch
+            from ..ops import qmatmul as qm
+            import contextlib
 
             def run(params, kv, logits, n_past, active, keys, last, cfg):
                 top_k, top_p, temp, rp = cfg
@@ -382,9 +485,14 @@ class BatchScheduler:
                     n_past = n_past + active.astype(n_past.dtype)
                     return (kv, lg, n_past, keys2, last), toks
 
-                (kv, logits, n_past, keys, last), toks = jax.lax.scan(
-                    body, (kv, logits, n_past, keys, last), None, length=k
+                ctx = (
+                    qm.tp_ctx(mesh) if mesh is not None
+                    else contextlib.nullcontext()
                 )
+                with ctx:
+                    (kv, logits, n_past, keys, last), toks = jax.lax.scan(
+                        body, (kv, logits, n_past, keys, last), None, length=k
+                    )
                 return toks, logits, kv, n_past, keys, last
 
             self._chunk_fns[key_] = jax.jit(run, donate_argnums=(1,))
@@ -454,22 +562,25 @@ class BatchScheduler:
             # every chunk token wrote a KV row (even past EOS truncation)
             self._slot_tokens[slot].extend(int(t) for t in toks[:, slot])
             r = seq.request
+            ended = False
             for t in toks[:, slot]:
                 t = int(t)
                 if r.eos_token_id is not None and t == r.eos_token_id:
-                    seq.done = True
+                    ended = True
                     break
                 seq.generated.append(t)
-                if len(seq.generated) >= r.max_new_tokens:
-                    seq.done = True
+                if self._feed_text(seq, t):  # stop string completed
+                    ended = True
                     break
-            if seq.done or self.n_past[slot] >= self.spec.n_ctx - 1:
-                seq.done = True
-                done_uids.append(seq.uid)
-                self.finished[seq.uid] = seq
-                del self.active[slot]
-                self.free.append(slot)
-                self.n_past[slot] = 0
+                if len(seq.generated) >= r.max_new_tokens:
+                    ended = True
+                    break
+            if (
+                ended
+                or seq.cancelled
+                or self.n_past[slot] >= self.spec.n_ctx - 1
+            ):
+                self._finish(seq, done_uids)
         return done_uids
 
     def run(self, device_chunk: Optional[int] = None) -> Dict[int, List[int]]:

@@ -80,3 +80,70 @@ def system_info() -> str:
 
     parts.append(f"native_repack = {int(native.available())}")
     return " | ".join(parts)
+
+
+class TextStreamer:
+    """Incremental text assembly with stop-string semantics.
+
+    Feeds per-token byte fragments, re-assembles UTF-8 safely, and
+    enforces the streaming contract every text-producing surface shares
+    (LLM._stream, the batch scheduler, the HTTP server):
+
+      * output is truncated at the FIRST occurrence of any stop string
+        (which may span token boundaries);
+      * text whose suffix could still grow into a stop string is held
+        back until it either completes one or provably cannot.
+
+    Matches the reference's streaming behavior (llm.py:542-616), pinned
+    by the 18-case tests/test_stop.py suite.
+    """
+
+    def __init__(self, stops=None):
+        import re as _re
+
+        self.stops = [s for s in (stops or []) if s]
+        self._search = (
+            _re.compile("|".join(map(_re.escape, self.stops))).search
+            if self.stops
+            else None
+        )
+        self._pending = b""  # trailing partial UTF-8 sequence
+        self._held = ""  # text not yet safe to emit
+        self.stopped = False
+
+    def _holdback(self) -> int:
+        """Length of the longest suffix of the held text that is a proper
+        prefix of some stop string."""
+        best = 0
+        for s in self.stops:
+            for n in range(min(len(s), len(self._held)), 0, -1):
+                if self._held.endswith(s[:n]):
+                    best = max(best, n)
+                    break
+        return best
+
+    def feed(self, fragment: bytes) -> str:
+        """Add one token's bytes; returns the text now safe to emit."""
+        if self.stopped:
+            return ""
+        self._pending += fragment
+        complete, self._pending = utf8_split_incomplete(self._pending)
+        self._held += complete.decode(errors="ignore")
+        if self._search is not None:
+            m = self._search(self._held)
+            if m:
+                out = self._held[: m.start()]
+                self._held = ""
+                self.stopped = True
+                return out
+        keep = self._holdback()
+        if keep >= len(self._held):
+            return ""
+        out = self._held[: len(self._held) - keep]
+        self._held = self._held[len(self._held) - keep:]
+        return out
+
+    def flush(self) -> str:
+        """Remaining held text at end-of-generation (no stop was hit)."""
+        out, self._held = self._held, ""
+        return out

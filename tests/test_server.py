@@ -86,3 +86,48 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def _post_stream(srv, payload):
+    host, port = srv.server_address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v1/completions",
+        data=json.dumps(dict(payload, stream=True)).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            data = line[len("data: "):]
+            if data == "[DONE]":
+                break
+            chunks.append(json.loads(data)["text"])
+    return chunks
+
+
+def test_streaming_matches_blocking(server):
+    payload = {"prompt": "ab", "max_tokens": 6, "temperature": 0.0, "seed": 3}
+    blocking = _post(server, payload)["text"]
+    chunks = _post_stream(server, payload)
+    assert len(chunks) >= 1
+    assert "".join(chunks) == blocking
+
+
+def test_server_stop_strings(server):
+    base = _post(server, {"prompt": "ab", "max_tokens": 8,
+                          "temperature": 0.0, "seed": 3})["text"]
+    assert len(base) > 4
+    needle = base[2:4]
+    expected = base[: base.index(needle)]
+    got = _post(server, {"prompt": "ab", "max_tokens": 8,
+                         "temperature": 0.0, "seed": 3, "stop": needle})
+    assert got["text"] == expected
+    # streamed chunks reassemble to the same truncated text
+    chunks = _post_stream(server, {"prompt": "ab", "max_tokens": 8,
+                                   "temperature": 0.0, "seed": 3,
+                                   "stop": [needle]})
+    assert "".join(chunks) == expected

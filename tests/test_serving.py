@@ -268,3 +268,129 @@ def test_prefix_reuse_chunked_decode(tmp_path):
     r2 = sched.run(device_chunk=4)[u2]
     assert r1 == want and r2 == want
     assert sched.reused_tokens >= 19  # second submit reused the prefix
+
+
+def _detok_fn(bundle):
+    tok = bundle.tokenizer
+    return lambda ts: b"".join(tok.detokenize(t) for t in ts)
+
+
+def test_stop_strings_and_streaming(tmp_path):
+    """Request.stop truncates at the first match with the same text
+    semantics as LLM._stream; on_text streams the safe chunks whose
+    concatenation equals Sequence.text."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=41)
+    b = load_model(path, "gpt2")
+    detok = _detok_fn(b)
+
+    # plain run to learn the greedy text, then stop on a mid-text piece
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2, detokenize=detok)
+    uid = sched.submit(Request(tokens=[5, 9, 2], max_new_tokens=8,
+                               sampler="greedy"))
+    toks = sched.run()[uid]
+    full = detok(toks).decode(errors="ignore")
+    assert len(full) > 4
+    needle = full[2:4]
+    expected = full[: full.index(needle)]
+
+    chunks = []
+    sched2 = BatchScheduler(b.spec, b.params, batch_slots=2, detokenize=detok)
+    uid2 = sched2.submit(Request(
+        tokens=[5, 9, 2], max_new_tokens=8, sampler="greedy",
+        stop=[needle], on_text=chunks.append,
+    ))
+    sched2.run()
+    seq = sched2.finished[uid2]
+    assert seq.text == expected, (seq.text, expected, full)
+    assert "".join(chunks) == seq.text
+
+
+def test_stop_strings_chunked_decode(tmp_path):
+    """Same stop semantics through the device-side chunked decode path."""
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=41)
+    b = load_model(path, "gpt2")
+    detok = _detok_fn(b)
+    sched = BatchScheduler(b.spec, b.params, batch_slots=2, detokenize=detok)
+    uid = sched.submit(Request(tokens=[5, 9, 2], max_new_tokens=8,
+                               sampler="greedy"))
+    toks = sched.run(device_chunk=4)[uid]
+    full = detok(toks).decode(errors="ignore")
+    needle = full[2:4]
+    expected = full[: full.index(needle)]
+
+    sched2 = BatchScheduler(b.spec, b.params, batch_slots=2, detokenize=detok)
+    uid2 = sched2.submit(Request(
+        tokens=[5, 9, 2], max_new_tokens=8, sampler="greedy", stop=[needle],
+    ))
+    sched2.run(device_chunk=4)
+    assert sched2.finished[uid2].text == expected
+
+
+def test_cancel_waiting_and_active(tmp_path):
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=41)
+    b = load_model(path, "gpt2")
+    sched = BatchScheduler(b.spec, b.params, batch_slots=1)
+    # one active fills the only slot; the second waits
+    u1 = sched.submit(Request(tokens=[5, 9], max_new_tokens=64,
+                              sampler="greedy"))
+    u2 = sched.submit(Request(tokens=[7, 1], max_new_tokens=4,
+                              sampler="greedy"))
+    sched.step()  # admit u1, decode one token
+    assert sched.cancel(u2)  # still waiting: finished immediately
+    assert sched.finished[u2].cancelled
+    assert sched.cancel(u1)  # active: ends at the next host checkpoint
+    sched.step()
+    assert u1 in sched.finished and sched.finished[u1].cancelled
+    assert not sched.active and not sched.waiting
+    assert not sched.cancel(999)
+
+
+def test_scheduler_on_mesh_matches_single_device(tmp_path):
+    """BatchScheduler(mesh=...): continuous batching over a TP mesh (the
+    SURVEY §7 hard part) must reproduce single-device outputs exactly —
+    8-way virtual CPU mesh, quantized weights, both decode paths."""
+    from ctransformers_tpu.ops import qmatmul as qm
+    from ctransformers_tpu.parallel import mesh as pmesh
+
+    path = str(tmp_path / "m.gguf")
+    from .fixtures import GGMLType
+    build_llama_gguf(path, seed=42, wtype=GGMLType.Q4_0)
+    b = load_model(path, "gguf")
+    prompts = [[1, 292, 263], [1, 313, 273, 307]]
+
+    ref_sched = BatchScheduler(b.spec, b.params, batch_slots=2)
+    ref_uids = [
+        ref_sched.submit(Request(tokens=p, max_new_tokens=5,
+                                 sampler="greedy"))
+        for p in prompts
+    ]
+    ref = ref_sched.run()
+
+    mesh = pmesh.make_mesh(8, data=1)
+    b2 = load_model(path, "gguf")
+    params = dict(b2.params)
+    qm.fuse_layer_params(params)
+    sched = BatchScheduler(b2.spec, params, batch_slots=2, mesh=mesh)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=5, sampler="greedy"))
+        for p in prompts
+    ]
+    got = sched.run()
+    for ru, u in zip(ref_uids, uids):
+        assert got[u] == ref[ru], (got[u], ref[ru])
+
+    # chunked device decode on the mesh too
+    b3 = load_model(path, "gguf")
+    params3 = dict(b3.params)
+    qm.fuse_layer_params(params3)
+    sched3 = BatchScheduler(b3.spec, params3, batch_slots=2, mesh=mesh)
+    uids3 = [
+        sched3.submit(Request(tokens=p, max_new_tokens=5, sampler="greedy"))
+        for p in prompts
+    ]
+    got3 = sched3.run(device_chunk=3)
+    for ru, u in zip(ref_uids, uids3):
+        assert got3[u] == ref[ru]
