@@ -97,9 +97,13 @@ class Engine:
         self.t_p_eval_us = 0  # prompt eval
         self.t_eval_us = 0  # decode eval
         self.t_sample_us = 0
+        # first-call XLA compilation is tracked separately so per-token
+        # numbers stay honest (the reference separates load from eval)
+        self.t_compile_us = 0
         self.n_p_eval = 0
         self.n_eval = 0
         self.n_sample = 0
+        self.n_compile = 0
 
     # -- compiled steps -----------------------------------------------------
 
@@ -158,14 +162,15 @@ class Engine:
         from ..models.forward import round_window
 
         pos = 0
+        compiled = False  # any chunk program built during THIS eval
         for size in self._chunks(len(tokens), self.spec.n_ctx):
             chunk = np.asarray(
                 tokens[pos : pos + size], np.int32
             ).reshape(1, size)
             chunk = np.broadcast_to(chunk, (self.batch, size))
-            step = self._step(
-                size, round_window(n_past + pos + size, self.spec.n_ctx)
-            )
+            w = round_window(n_past + pos + size, self.spec.n_ctx)
+            compiled |= (size, w) not in self._steps
+            step = self._step(size, w)
             logits, hidden, self.kv = step(
                 self.params, jnp.asarray(chunk), jnp.int32(n_past + pos), self.kv
             )
@@ -176,7 +181,13 @@ class Engine:
         self.hidden = np.array(hidden[0], np.float32)
         self.n_past = n_past + len(tokens)
         dt_us = int((_time.perf_counter() - t0) * 1e6)
-        if len(tokens) > 1:
+        if compiled:
+            # a first-call eval is dominated by XLA compilation; booking
+            # it as eval time made ms/token meaningless (reference
+            # separates load time from eval time, llama.cpp:6189-6226)
+            self.t_compile_us += dt_us
+            self.n_compile += 1
+        elif len(tokens) > 1:
             self.t_p_eval_us += dt_us
             self.n_p_eval += len(tokens)
         else:
@@ -244,12 +255,17 @@ class Engine:
         last_tokens: Sequence[int] = (),
         last_n: int = 64,
         seed: int = 0,
+        key=None,
     ) -> List[int]:
         """Generate `n` tokens on device starting from the current logits.
 
         The fast path replacing the per-token sample->eval Python loop
         (reference llm.py:528-540): the whole loop is one XLA program, so
         dispatch/tunnel latency is paid once per call, not per token.
+
+        `key`: explicit jax PRNG key (decode_chunked threads an evolving
+        key so successive segments never repeat a sample stream); default
+        derives one from `seed`.
         """
         if self.logits is None:
             raise RuntimeError("decode() requires a prior eval()")
@@ -267,22 +283,88 @@ class Engine:
         from ..models.forward import round_window
 
         window = round_window(self.n_past + n, self.spec.n_ctx)
+        compiled = (n, window) + cfg not in self._loops
         run = self._decode_loop(n, cfg, window)
+        if key is None:
+            key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
         toks, logits, self.kv = run(
             self.params,
             self.kv,
             jnp.asarray(self.logits),
             jnp.int32(self.n_past),
-            jax.random.PRNGKey(seed & 0x7FFFFFFF),
+            key,
             jnp.asarray(last),
         )
         self.n_past += n
         self.logits = np.array(logits, np.float32)
         out = [int(t) for t in np.asarray(toks)]
         dt_us = int((_time.perf_counter() - t0) * 1e6)
-        self.t_eval_us += dt_us
-        self.n_eval += n
+        if compiled:
+            self.t_compile_us += dt_us
+            self.n_compile += 1
+        else:
+            self.t_eval_us += dt_us
+            self.n_eval += n
         self.n_sample += n
+        return out
+
+    def decode_chunked(
+        self,
+        n: int,
+        *,
+        chunk: int = 32,
+        should_stop=None,
+        abort_callback=None,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        temperature: float = 0.8,
+        repetition_penalty: float = 1.1,
+        last_tokens: Sequence[int] = (),
+        last_n: int = 64,
+        seed: int = 0,
+    ) -> List[int]:
+        """Device-side decode in `chunk`-token segments with host
+        checkpoints between dispatches — the cooperative-cancellation
+        analog of the reference's abort_callback (ggml.h:506-507), which
+        a single fused n-token dispatch cannot honor.
+
+        `should_stop(segment) -> int | None`: called after each segment
+        with its new tokens; return how many of them to KEEP to end
+        generation there (EOS / stop strings), or None to continue. The
+        engine rewinds n_past past any dropped tail so those KV rows are
+        reused. `abort_callback() -> bool`: checked before each dispatch.
+        """
+        out: List[int] = []
+        base = jax.random.PRNGKey(seed & 0x7FFFFFFF)
+        last = list(last_tokens)
+        i = 0
+        while len(out) < n:
+            if abort_callback is not None and abort_callback():
+                break
+            k = min(chunk, n - len(out))
+            toks = self.decode(
+                k,
+                top_k=top_k,
+                top_p=top_p,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                last_tokens=last[-last_n:],
+                last_n=last_n,
+                key=jax.random.fold_in(base, i),
+            )
+            i += 1
+            if not toks:
+                break
+            keep = should_stop(toks) if should_stop is not None else None
+            if keep is not None:
+                keep = max(0, min(int(keep), len(toks)))
+                dropped = len(toks) - keep
+                if dropped:
+                    self.rewind(self.n_past - dropped)
+                out.extend(toks[:keep])
+                break
+            out.extend(toks)
+            last.extend(toks)
         return out
 
     def reset(self) -> None:
@@ -403,13 +485,18 @@ class Engine:
             "t_p_eval_ms": self.t_p_eval_us / 1e3,
             "t_eval_ms": self.t_eval_us / 1e3,
             "t_sample_ms": self.t_sample_us / 1e3,
+            "t_compile_ms": self.t_compile_us / 1e3,
             "n_p_eval": max(1, self.n_p_eval),
             "n_eval": max(1, self.n_eval),
             "n_sample": max(1, self.n_sample),
+            "n_compile": self.n_compile,
         }
 
     def print_timings(self) -> None:
         t = self.timings()
+        print(
+            f"    compile time = {t['t_compile_ms']:10.2f} ms / {t['n_compile']} programs"
+        )
         print(
             f"prompt eval time = {t['t_p_eval_ms']:10.2f} ms / {t['n_p_eval']} tokens"
             f" ({t['t_p_eval_ms']/t['n_p_eval']:.2f} ms per token)"

@@ -830,13 +830,38 @@ class LLM:
         seed: Optional[int] = None,
         stop: Optional[Sequence[str]] = None,
         reset: Optional[bool] = None,
+        grammar=None,
+        abort_callback=None,
+        chunk: Optional[int] = None,
     ) -> str:
-        """High-throughput generation: the whole sample->eval loop runs on
-        device as one compiled program per N tokens (Engine.decode), instead
+        """High-throughput generation: the sample->eval loop runs on device
+        in `chunk`-token compiled segments (Engine.decode_chunked) instead
         of the per-token host round trip of `__call__`. Sampling uses the
         on-device sampler (same chain, jax PRNG — deterministic per seed but
-        not draw-identical to the host samplers). EOS and stop sequences are
-        applied after detokenization."""
+        not draw-identical to the host samplers).
+
+        Between segments the host applies EOS and stop-string semantics
+        (via utils.TextStreamer, same contract as `__call__`) and checks
+        `abort_callback()` — so generation ends within `chunk` tokens of a
+        stop instead of burning the full budget, and a server can cancel
+        mid-request (the reference's abort_callback, ggml.h:506-507).
+
+        `grammar` falls back to the exact host loop (`__call__`): the
+        grammar FSM advances token-by-token on the host and cannot run
+        inside the fused device program.
+
+        `chunk` (default CT_DECODE_CHUNK or 32; 0 = single dispatch): the
+        cancellation/stop latency vs dispatch-overhead trade."""
+        if grammar is not None:
+            return self(
+                prompt, max_new_tokens=max_new_tokens, top_k=top_k,
+                top_p=top_p, temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                last_n_tokens=last_n_tokens, seed=seed, stop=stop,
+                reset=reset, grammar=grammar,
+            )
+        import os as _os
+
         config = self.config
         max_new_tokens = get(max_new_tokens, config.max_new_tokens)
         stop = get(stop, config.stop) or []
@@ -850,12 +875,34 @@ class LLM:
         last_n = get(last_n_tokens, config.last_n_tokens)
         if last_n < 0:
             last_n = self.context_length
+        if chunk is None:
+            chunk = int(_os.environ.get("CT_DECODE_CHUNK", "32"))
+        if chunk <= 0:
+            chunk = max_new_tokens
 
         tokens = self.tokenize(prompt)
         tokens = self.prepare_inputs_for_generation(tokens, reset=reset)
         self.eval(tokens)
-        toks = self._engine.decode(
+
+        streamer = TextStreamer(stop)
+        pieces: List[str] = []
+
+        def should_stop(segment):
+            for i, t in enumerate(segment):
+                if self.is_eos_token(t):
+                    return i  # drop the EOS token and everything after
+                piece = streamer.feed(self.detokenize([t], decode=False))
+                if piece:
+                    pieces.append(piece)
+                if streamer.stopped:
+                    return i + 1  # token completing the stop string stays
+            return None
+
+        toks = self._engine.decode_chunked(
             max_new_tokens,
+            chunk=chunk,
+            should_stop=should_stop,
+            abort_callback=abort_callback,
             top_k=get(top_k, config.top_k),
             top_p=get(top_p, config.top_p),
             temperature=get(temperature, config.temperature),
@@ -864,17 +911,7 @@ class LLM:
             last_n=last_n,
             seed=seed,
         )
-        # EOS truncation (the device loop runs a fixed length)
-        for i, t in enumerate(toks):
-            if self.is_eos_token(t):
-                toks = toks[:i]
-                break
         self._context.extend(int(t) for t in toks)
-        text = self.detokenize(toks)
-        if stop:
-            cut = min(
-                (text.find(s) for s in stop if s in text), default=-1
-            )
-            if cut >= 0:
-                text = text[:cut]
-        return text
+        if not streamer.stopped:
+            pieces.append(streamer.flush())
+        return "".join(pieces)

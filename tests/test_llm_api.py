@@ -191,9 +191,21 @@ def test_timings_counters(tmp_path):
     llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
     llm("ab", max_new_tokens=3, seed=1)
     t = llm._engine.timings()
-    assert t["n_p_eval"] >= 2
-    assert t["n_eval"] >= 2
-    assert t["t_p_eval_ms"] > 0
+    # first-call evals are booked as compile time, not eval time (the
+    # reference separates load from eval; a compile-inclusive ms/token
+    # number is meaningless)
+    assert t["n_compile"] >= 1
+    assert t["t_compile_ms"] > 0
+    # warm re-runs with the same program shapes book to eval counters
+    eng = llm._engine
+    eng.reset()
+    eng.eval([5, 9, 2])  # compiles (2,1) chunk programs at these windows
+    eng.reset()
+    p0 = eng.n_p_eval
+    eng.eval([7, 1, 30])
+    assert eng.n_p_eval - p0 == 3
+    assert eng.t_p_eval_us > 0
+    assert eng.n_eval >= 2
 
 
 def test_generate_fast(tmp_path):
@@ -222,3 +234,67 @@ def test_generate_fast(tmp_path):
     # stop sequences applied post-hoc
     s = llm.generate_fast("hello", max_new_tokens=8, temperature=0.0, stop=["e"])
     assert "e" not in s
+
+
+def test_generate_fast_early_stop_and_abort(tmp_path):
+    """decode_chunked ends within one chunk of EOS/stop (no fixed-length
+    burn) and honors abort_callback between dispatches."""
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=111)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+
+    # stop string: fast path must match the exact host-loop text
+    slow = llm("hello", max_new_tokens=8, temperature=0.0,
+               repetition_penalty=1.0, stop=["e"])
+    fast = llm.generate_fast("hello", max_new_tokens=8, temperature=0.0,
+                             repetition_penalty=1.0, stop=["e"], chunk=2)
+    assert fast == slow
+    # early exit: n_past must NOT have advanced by the full budget
+    llm._engine.reset()
+    llm._context.clear()
+    toks = llm.tokenize("hello")
+    llm.eval(toks)
+    base = llm._engine.n_past
+    llm.generate_fast("hello", max_new_tokens=64, temperature=0.0,
+                      repetition_penalty=1.0, stop=["e"], chunk=4)
+    used = llm._engine.n_past - base
+    assert used < 64, used
+
+    # abort before the first dispatch generates nothing
+    out = llm.generate_fast("hello", max_new_tokens=8,
+                            abort_callback=lambda: True)
+    assert out == ""
+
+    # abort after the first chunk stops within one chunk
+    calls = []
+
+    def abort_after_one():
+        calls.append(1)
+        return len(calls) > 1
+
+    llm._engine.reset()
+    llm._context.clear()
+    out = llm.generate_fast("hello", max_new_tokens=64, temperature=0.0,
+                            repetition_penalty=1.0, chunk=2,
+                            abort_callback=abort_after_one)
+    # 2-token chunks: at most one chunk of text got generated
+    assert len(llm.tokenize(out) if out else []) <= 4
+
+
+def test_generate_fast_grammar_falls_back(tmp_path):
+    """grammar on the fast path delegates to the exact host loop."""
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=111)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    g = 'root ::= "a" "b" "c"'
+    want = llm("x", max_new_tokens=5, temperature=0.0,
+               repetition_penalty=1.0, grammar=g)
+    got = llm.generate_fast("x", max_new_tokens=5, temperature=0.0,
+                            repetition_penalty=1.0, grammar=g)
+    assert got == want
