@@ -53,13 +53,21 @@ class Engine:
         path."""
         self.spec = spec
         self.mesh = mesh
+        multiproc = jax.process_count() > 1
 
         def place(a):
             if isinstance(a, qm.QTensor):
+                if mesh is not None and multiproc:
+                    return a  # shard_params assembles from host values
                 return jax.tree.map(jnp.asarray, a)
             if np.issubdtype(np.asarray(a).dtype, np.floating):
+                if mesh is not None and multiproc:
+                    # keep on host (cast only): placement must go through
+                    # make_array_from_callback, not a device_put of the
+                    # full array (non-addressable devices)
+                    return np.asarray(a, param_dtype)
                 return jnp.asarray(a, param_dtype)
-            return jnp.asarray(a)
+            return a if mesh is not None and multiproc else jnp.asarray(a)
 
         self.params = jax.tree.map(
             place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
@@ -128,7 +136,20 @@ class Engine:
                                attn_window=window)
 
             # donate the KV cache so XLA updates it in place
-            self._steps[(t, window)] = jax.jit(fn, donate_argnums=(3,))
+            kwargs = {}
+            if sharded and jax.process_count() > 1:
+                # multi-controller: the host reads logits/hidden with
+                # np.array, which needs them fully addressable on every
+                # process -> replicate outputs; KV keeps its sharding
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                kwargs["out_shardings"] = (
+                    rep, rep, jax.tree.map(lambda a: a.sharding, self.kv)
+                )
+            self._steps[(t, window)] = jax.jit(
+                fn, donate_argnums=(3,), **kwargs
+            )
         return self._steps[(t, window)]
 
     @staticmethod
@@ -241,7 +262,15 @@ class Engine:
             )
             return toks, logits, kv
 
-        self._loops[key_] = jax.jit(run, donate_argnums=(1,))
+        kwargs = {}
+        if sharded and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            kwargs["out_shardings"] = (
+                rep, rep, jax.tree.map(lambda a: a.sharding, self.kv)
+            )
+        self._loops[key_] = jax.jit(run, donate_argnums=(1,), **kwargs)
         return self._loops[key_]
 
     def decode(

@@ -141,7 +141,9 @@ def shard_params(params, mesh: Mesh):
                 axis_ok = False
         if not axis_ok:
             spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        from .distributed import put_sharded
+
+        return put_sharded(leaf, mesh, spec)
 
     return jax.tree_util.tree_map_with_path(
         place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
@@ -178,7 +180,9 @@ def _shard_qtensor(qt, mesh: Mesh, tp: int, spec: P):
     def put(a, sp):
         if a is None:
             return None
-        return jax.device_put(a, NamedSharding(mesh, sp))
+        from .distributed import put_sharded
+
+        return put_sharded(a, mesh, sp)
 
     if kind is None:
         rep = P()
@@ -225,9 +229,10 @@ def shard_kv(kv, spec: ArchSpec, mesh: Mesh):
     full = kv_pspec(spec, mesh, batch)
     scales = P(*full[:4])  # int8-cache scale planes drop the dh axis
 
+    from .distributed import put_sharded
+
     def put(a):
-        ps = full if a.ndim == 5 else scales
-        return jax.device_put(a, NamedSharding(mesh, ps))
+        return put_sharded(a, mesh, full if a.ndim == 5 else scales)
 
     return jax.tree.map(put, kv)
 
