@@ -22,13 +22,16 @@ import time
 BASELINE_TOK_S = 14.0
 
 
-def _kv_dtype():
-    """BENCH_KV: bf16 (default) | int8 | f32. int8 halves KV HBM reads,
-    the dominant batched-decode cost (see tests/test_kv_int8.py)."""
+def _kv_dtype(default: str = "bf16"):
+    """BENCH_KV: bf16 | int8 | f32. Defaults: bf16 single-stream, int8 for
+    the batched bench — the 2026-08-19 healthy-device A/B
+    (docs/AB_attention_r02.txt) has int8 attention at 92.4 us/layer vs
+    bf16's 117.5 at B=8 (KV reads dominate there), while at B=1 bf16
+    still wins (19.4 vs 22.8)."""
     import jax.numpy as jnp
 
     kinds = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}
-    name = os.environ.get("BENCH_KV", "bf16")
+    name = os.environ.get("BENCH_KV", default)
     if name not in kinds:
         raise SystemExit(f"BENCH_KV={name!r}: expected one of {sorted(kinds)}")
     return kinds[name]
@@ -125,7 +128,9 @@ def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
     params = random_params(spec, seed=0, quantize=kind, exact=False)
     qm.fuse_layer_params(params)
     qm.autotune(params, batch_sizes=(slots,))
-    sched = BatchScheduler(spec, params, batch_slots=slots, kv_dtype=_kv_dtype())
+    sched = BatchScheduler(
+        spec, params, batch_slots=slots, kv_dtype=_kv_dtype(default="int8")
+    )
 
     prompts = [[(i * 37 + j) % spec.n_vocab for j in range(32)] for i in range(slots)]
     # warm: compiles prefill + chunked decode programs

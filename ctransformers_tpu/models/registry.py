@@ -37,7 +37,7 @@ register("starcoder", "starcoder")
 register("gptbigcode", "starcoder")
 register("gguf", "llama_gguf")
 register("llama", "llama_gguf")  # legacy GGJT handled inside the loader
-register("falcon", "llama_gguf")  # falcon ships as GGUF in supported repos
+register("falcon", "falcon")  # GGUF via llama_gguf; GGCC via falcon_ggcc
 
 
 @dataclass

@@ -171,16 +171,19 @@ def make_spm_vocab():
     return pieces, scores, types
 
 
+_BPE_MERGE_PAIRS = [
+    ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+    ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d"),
+    (" ", "t"), (" t", "h"), (" th", "e"),
+]
+
+
 def make_bpe_vocab():
     """Tiny BPE vocab + merges (falcon-style 'gpt2' tokenizer model)."""
     pieces = ["<|endoftext|>"] * 1  # id 0 unused filler
     pieces = ["<pad>"] * 11 + ["<|endoftext|>"]  # eos/bos = 11 (reference default)
     chars = list("abcdefghijklmnopqrstuvwxyz ") + ["\n"]
-    merge_pairs = [
-        ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
-        ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d"),
-        (" ", "t"), (" t", "h"), (" th", "e"),
-    ]
+    merge_pairs = _BPE_MERGE_PAIRS
     pieces += chars
     for l, r in merge_pairs:
         pieces.append(l + r)
@@ -571,3 +574,123 @@ def build_llama_ggjt(
             wt(f"{p}.feed_forward.w1.weight", _w(rng, n_ff, n_embd), wtype)
             wt(f"{p}.feed_forward.w2.weight", _w(rng, n_embd, n_ff), wtype)
             wt(f"{p}.feed_forward.w3.weight", _w(rng, n_ff, n_embd), wtype)
+
+
+# -- GGCC (ggllm.cpp pre-GGUF falcon) writer ----------------------------------
+
+FALCON_GGCC_MAGIC = 0x67676363
+_GGCC_COL_SPLIT = (
+    "transformer.word_embeddings.weight",
+    ".self_attention.dense.weight",
+    ".mlp.dense_4h_to_h.weight",
+)
+
+
+def build_falcon_ggcc(
+    path: str,
+    n_ctx: int = 64,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 1,
+    n_layer: int = 2,
+    wtype: GGMLType = GGMLType.F32,
+    norm2: bool = False,
+    seed: int = 0,
+    shards: int = 1,
+) -> dict:
+    """Write a tiny falcon in ggllm's GGCC v10 format (optionally split
+    into `shards` part files `path`, `path.1`, ... following libfalcon's
+    by-columns/by-rows split rules, libfalcon.cpp:645-658). Weights are
+    drawn with the SAME rng stream as build_falcon_gguf(seed, n_ff=4*d),
+    so the two files hold identical models for loader cross-checks."""
+    import struct as _struct
+
+    rng = np.random.RandomState(seed)
+    pieces, scores, types, merges = make_bpe_vocab()
+    n_vocab = len(pieces)
+    dh = n_embd // n_head
+    n_ff = 4 * n_embd  # GGCC derives n_ff = 4*n_embd (libfalcon.cpp:1625)
+
+    # same draw order as build_falcon_gguf
+    arrays = {}
+    arrays["transformer.word_embeddings.weight"] = (
+        _w(rng, n_vocab, n_embd), GGMLType.F32,
+    )
+    arrays["transformer.ln_f.weight"] = (_w(rng, n_embd) + 1.0, GGMLType.F32)
+    arrays["transformer.ln_f.bias"] = (_w(rng, n_embd), GGMLType.F32)
+    arrays["lm_head.weight"] = (_w(rng, n_vocab, n_embd), wtype)
+    qkv_rows = (n_head + 2 * n_head_kv) * dh
+    for i in range(n_layer):
+        p = f"transformer.h.{i}"
+        if norm2:  # GGUF attn_norm <-> GGCC ln_mlp; attn_norm_2 <-> ln_attn
+            arrays[f"{p}.ln_mlp.weight"] = (_w(rng, n_embd) + 1.0, GGMLType.F32)
+            arrays[f"{p}.ln_mlp.bias"] = (_w(rng, n_embd), GGMLType.F32)
+            arrays[f"{p}.ln_attn.weight"] = (_w(rng, n_embd) + 1.0, GGMLType.F32)
+            arrays[f"{p}.ln_attn.bias"] = (_w(rng, n_embd), GGMLType.F32)
+        else:
+            arrays[f"{p}.input_layernorm.weight"] = (
+                _w(rng, n_embd) + 1.0, GGMLType.F32,
+            )
+            arrays[f"{p}.input_layernorm.bias"] = (_w(rng, n_embd), GGMLType.F32)
+        arrays[f"{p}.self_attention.query_key_value.weight"] = (
+            _w(rng, qkv_rows, n_embd), wtype,
+        )
+        arrays[f"{p}.self_attention.dense.weight"] = (
+            _w(rng, n_embd, n_head * dh), wtype,
+        )
+        arrays[f"{p}.mlp.dense_h_to_4h.weight"] = (_w(rng, n_ff, n_embd), wtype)
+        arrays[f"{p}.mlp.dense_4h_to_h.weight"] = (_w(rng, n_embd, n_ff), wtype)
+
+    merge_pairs = _BPE_MERGE_PAIRS  # (left, right) unambiguous
+
+    def write_file(f, tensor_slices):
+        f.write(_struct.pack("<II", FALCON_GGCC_MAGIC, 10))
+        for v in (n_vocab, n_embd, n_head, n_head_kv, n_layer,
+                  40 if norm2 else 7, 0, len(merge_pairs)):
+            f.write(_struct.pack("<I", v))
+        for piece, score in zip(pieces, scores):
+            b = piece.encode("utf-8")
+            f.write(_struct.pack("<I", len(b)))
+            f.write(b)
+            f.write(_struct.pack("<f", score))
+        f.write(_struct.pack("<I", len(merge_pairs)))
+        for a, b in merge_pairs:
+            ab, bb = a.encode(), b.encode()
+            f.write(_struct.pack("<I", len(ab)))
+            f.write(ab)
+            f.write(_struct.pack("<I", len(bb)))
+            f.write(bb)
+        for name, (arr, t) in tensor_slices:
+            ne = tuple(reversed(arr.shape))
+            nb = name.encode("utf-8")
+            f.write(_struct.pack("<III", len(ne), len(nb), int(t)))
+            for d in ne:
+                f.write(_struct.pack("<I", d))
+            f.write(nb)
+            pad = -f.tell() & 31
+            f.write(b"\x00" * pad)
+            f.write(_enc(arr, t))
+
+    def shard_slices(idx):
+        out = []
+        for name, (arr, t) in arrays.items():
+            if arr.ndim == 1 or shards == 1:
+                out.append((name, (arr, t)))  # duplicated in every part
+            elif any(name == m or m in name for m in _GGCC_COL_SPLIT):
+                cols = arr.shape[1] // shards
+                out.append((name, (arr[:, idx * cols : (idx + 1) * cols], t)))
+            elif arr.shape[0] % shards:
+                # indivisible rows (e.g. odd vocab): whole copy in part 0
+                # only — a 1-shard 2D tensor is SPLIT_NONE in the loader
+                if idx == 0:
+                    out.append((name, (arr, t)))
+            else:
+                rows = arr.shape[0] // shards
+                out.append((name, (arr[idx * rows : (idx + 1) * rows], t)))
+        return out
+
+    for idx in range(shards):
+        fname = path if idx == 0 else f"{path}.{idx}"
+        with open(fname, "wb") as f:
+            write_file(f, shard_slices(idx))
+    return dict(n_vocab=n_vocab, n_ctx=n_ctx)

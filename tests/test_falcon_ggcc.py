@@ -1,0 +1,108 @@
+"""Old-format falcon (ggllm GGCC) loader: cross-loader, multi-shard, and
+reference-binary parity.
+
+The reference loads pre-GGUF falcon through libfalcon's multi-shard GGCC
+loader (/root/reference/models/ggml/libfalcon.cpp:603-1016) and its BPE
+tokenizer. build_falcon_ggcc writes the same weights as build_falcon_gguf
+(same rng stream), so the GGCC and GGUF paths must produce identical
+logits; the reference's precompiled engine pins the format itself.
+"""
+
+import numpy as np
+import pytest
+
+from ctransformers_tpu.formats.quants import GGMLType
+from ctransformers_tpu.models.registry import load_model
+
+from .fixtures import build_falcon_ggcc, build_falcon_gguf, ref_llm
+
+
+def _logits(bundle, tokens):
+    from ctransformers_tpu.engine.engine import Engine
+
+    eng = Engine(bundle.spec, bundle.params)
+    eng.eval(tokens)
+    return np.array(eng.logits)
+
+
+@pytest.mark.parametrize("wtype", [GGMLType.F32, GGMLType.Q4_0])
+def test_ggcc_matches_gguf_loader(tmp_path, wtype):
+    """Same weights through GGCC and GGUF files -> identical logits."""
+    n_embd = 64
+    g = str(tmp_path / "m.gguf")
+    c = str(tmp_path / "m.ggcc.bin")
+    build_falcon_gguf(g, n_embd=n_embd, n_ff=4 * n_embd, wtype=wtype, seed=3)
+    build_falcon_ggcc(c, n_embd=n_embd, wtype=wtype, seed=3)
+    bg = load_model(g, "falcon")
+    bc = load_model(c, "falcon")
+    assert bc.spec.n_ff == bg.spec.n_ff == 4 * n_embd
+    toks = [12, 14, 20]
+    np.testing.assert_allclose(
+        _logits(bc, toks), _logits(bg, toks), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ggcc_multishard_matches_single(tmp_path):
+    """2-part files (by-columns/by-rows shard merge) == the 1-part file."""
+    one = str(tmp_path / "one.bin")
+    two = str(tmp_path / "two.bin")
+    build_falcon_ggcc(one, seed=5, shards=1)
+    build_falcon_ggcc(two, seed=5, shards=2)
+    b1 = load_model(one, "falcon")
+    b2 = load_model(two, "falcon")
+    toks = [12, 14, 20, 17]
+    np.testing.assert_allclose(
+        _logits(b2, toks), _logits(b1, toks), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_ggcc_40b_style_norms(tmp_path):
+    """ln_attn/ln_mlp (40B) files load with separate attention/MLP norms."""
+    c = str(tmp_path / "m40.bin")
+    g = str(tmp_path / "m40.gguf")
+    build_falcon_ggcc(c, n_head_kv=2, norm2=True, seed=7)
+    build_falcon_gguf(g, n_embd=64, n_ff=256, n_head_kv=2, norm2=True, seed=7)
+    bc = load_model(c, "falcon")
+    bg = load_model(g, "falcon")
+    assert not bc.spec.shared_parallel_ln
+    toks = [12, 14]
+    np.testing.assert_allclose(
+        _logits(bc, toks), _logits(bg, toks), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ggcc_tokenizer_roundtrip(tmp_path):
+    c = str(tmp_path / "m.bin")
+    build_falcon_ggcc(c, seed=3)
+    b = load_model(c, "falcon")
+    toks = b.tokenizer.tokenize("hello world")
+    assert toks
+    text = b"".join(b.tokenizer.detokenize(t) for t in toks)
+    assert text == b"hello world"
+
+
+def test_ggcc_parity_with_reference_engine(tmp_path):
+    """Greedy generation through the reference's precompiled libfalcon
+    engine must match token-for-token on the same GGCC file."""
+    path = str(tmp_path / "m.bin")
+    build_falcon_ggcc(path, seed=3)
+    ref = ref_llm(path, "falcon")
+    if ref is None:
+        pytest.skip("reference engine unavailable")
+    from ctransformers_tpu import LLM
+
+    mine = LLM(path, model_type="falcon")
+    rt = ref.tokenize("hello world")
+    mt = mine.tokenize("hello world")
+    assert rt == mt, (rt, mt)
+
+    def greedy(llm, toks, n):
+        out, gen = [], llm.generate(list(toks), top_k=1, temperature=0.7,
+                                    seed=1)
+        for t in gen:
+            out.append(int(t))
+            if len(out) >= n:
+                break
+        return out
+
+    assert greedy(mine, mt, 8) == greedy(ref, rt, 8)
