@@ -551,6 +551,36 @@ class Engine:
                 f.write(out)
         return out
 
+    def export_graph(self, path: Optional[str] = None, t: int = 1) -> str:
+        """Dump the compiled forward step's StableHLO text — the analog of
+        the reference's graph introspection (ggml_graph_export /
+        ggml_graph_dump_dot, ggml.h:1640-1647; llama_eval_export,
+        llama.cpp:6076). `t` picks the chunk-length program (1 = decode
+        step)."""
+        from ..models.forward import round_window
+
+        window = round_window(max(self.n_past, 1) + t, self.spec.n_ctx)
+        spec = self.spec
+        mesh = self.mesh
+
+        def fn(params, tokens, n_past, kv):
+            if mesh is not None:
+                with qm.tp_ctx(mesh):
+                    return forward(spec, params, tokens, n_past, kv,
+                                   attn_window=window)
+            return forward(spec, params, tokens, n_past, kv,
+                           attn_window=window)
+
+        tokens = jnp.zeros((self.batch, t), jnp.int32)
+        lowered = jax.jit(fn).lower(
+            self.params, tokens, jnp.int32(0), self.kv
+        )
+        text = lowered.as_text()
+        if path:
+            with open(path, "w") as f:
+                f.write(text)
+        return text
+
     def profile(self, logdir: str):
         """JAX profiler trace context (the reference's GGML_PERF / XProf
         equivalent): `with engine.profile('/tmp/trace'): engine.eval(...)`."""

@@ -298,3 +298,18 @@ def test_generate_fast_grammar_falls_back(tmp_path):
     got = llm.generate_fast("x", max_new_tokens=5, temperature=0.0,
                             repetition_penalty=1.0, grammar=g)
     assert got == want
+
+
+def test_export_graph(tmp_path):
+    """StableHLO dump of the compiled step (the reference's
+    ggml_graph_export / dump_dot analog)."""
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_gpt2
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=9)
+    llm = AutoModelForCausalLM.from_pretrained(path, model_type="gpt2")
+    out = str(tmp_path / "step.mlir")
+    text = llm._engine.export_graph(out)
+    assert "stablehlo" in text or "mhlo" in text or "func.func" in text
+    assert len(open(out).read()) > 1000
