@@ -131,6 +131,7 @@ class AutoModelForCausalLM:
         local_files_only: bool = False,
         revision: Optional[str] = None,
         hf: bool = False,
+        kv_dtype: Optional[str] = None,
         **kwargs,
     ) -> LLM:
         """Loads the language model from a local file or remote repo.
@@ -147,6 +148,8 @@ class AutoModelForCausalLM:
             revision: The specific model version to use. It can be a branch
             name, a tag name, or a commit id.
             hf: Whether to create a Hugging Face Transformers model.
+            kv_dtype: KV cache storage ("f32" | "bf16" | "int8"), forwarded
+            to `LLM`.
 
         Returns:
             `LLM` object.
@@ -193,6 +196,7 @@ class AutoModelForCausalLM:
             config=config.config,
             lib=lib,
             lora=lora,
+            kv_dtype=kv_dtype,
         )
         if not hf:
             return llm

@@ -99,7 +99,13 @@ class BatchScheduler:
         self.detokenize = detokenize
         from ..ops import qmatmul as qm
 
+        multiproc = jax.process_count() > 1
+
         def place(a):
+            if mesh is not None and multiproc:
+                # multi-controller: keep host values; shard_params
+                # assembles global arrays via make_array_from_callback
+                return a
             if isinstance(a, qm.QTensor):
                 return jax.tree.map(jnp.asarray, a)
             return jnp.asarray(a)
@@ -108,6 +114,7 @@ class BatchScheduler:
             place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
         self.slots = batch_slots
+        self._multiproc = multiproc
         self.kv = KVCache.create(spec, batch_slots, kv_dtype)
         if mesh is not None:
             from ..parallel import mesh as pmesh
@@ -128,6 +135,17 @@ class BatchScheduler:
         # round trip per step is ~2 MB, ruinous over a remote tunnel; the
         # host only downloads them for host-side sampling (step()).
         self._logits = jnp.zeros((batch_slots, spec.n_vocab), jnp.float32)
+        if mesh is not None and self._multiproc:
+            # multi-controller: the logits carry must be a GLOBAL
+            # (replicated) array so host downloads and jnp.where merges
+            # stay valid on every process
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.distributed import put_sharded
+
+            self._logits = put_sharded(
+                np.zeros((batch_slots, spec.n_vocab), np.float32), mesh, P()
+            )
         self._chunk_fns = {}
         self._step_fns = {}
         # prefix reuse: per-slot record of the tokens whose KV rows are
@@ -157,7 +175,17 @@ class BatchScheduler:
                     attn_window=window,
                 )
 
-            self._step_fns[window] = jax.jit(step, donate_argnums=(3,))
+            kwargs = {}
+            if mesh is not None and self._multiproc:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                kwargs["out_shardings"] = (
+                    rep, rep, jax.tree.map(lambda a: a.sharding, self.kv)
+                )
+            self._step_fns[window] = jax.jit(
+                step, donate_argnums=(3,), **kwargs
+            )
         return self._step_fns[window]
 
     # -- request lifecycle --------------------------------------------------
@@ -495,7 +523,17 @@ class BatchScheduler:
                     )
                 return toks, logits, kv, n_past, keys, last
 
-            self._chunk_fns[key_] = jax.jit(run, donate_argnums=(1,))
+            kwargs = {}
+            if mesh is not None and jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                kwargs["out_shardings"] = (
+                    rep, rep,
+                    jax.tree.map(lambda a: a.sharding, self.kv),
+                    rep, rep, rep,
+                )
+            self._chunk_fns[key_] = jax.jit(run, donate_argnums=(1,), **kwargs)
         return self._chunk_fns[key_]
 
     def step_chunk(self, k: int = 16) -> List[int]:

@@ -52,9 +52,25 @@ def main() -> None:
     eng = Engine(spec, params, mesh=mesh)
     eng.eval([1, 5, 9])
     toks = eng.decode(4, temperature=0.0, repetition_penalty=1.0)
+    print(f"proc {pid} engine tokens: {toks}", flush=True)
+
+    # multi-host CONTINUOUS BATCHING (the SURVEY §7 hard part): the
+    # scheduler runs the same multi-controller program on every host
+    from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
+
+    params2 = random_params(spec, seed=0, quantize="q4_0", exact=False)
+    sched = BatchScheduler(spec, params2, batch_slots=2, mesh=mesh)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=4, sampler="greedy"))
+        for p in ([1, 5, 9], [1, 7, 2, 4])
+    ]
+    res = sched.run(device_chunk=2)
+    sched_toks = [res[u] for u in uids]
+    print(f"proc {pid} sched tokens: {sched_toks}", flush=True)
+
     with open(out_path, "w") as f:
-        f.write(",".join(map(str, toks)))
-    print(f"proc {pid} tokens: {toks}", flush=True)
+        f.write(",".join(map(str, toks)) + "\n")
+        f.write(";".join(",".join(map(str, t)) for t in sched_toks))
 
 
 if __name__ == "__main__":

@@ -47,7 +47,11 @@ def test_two_process_engine_matches_single(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     results = [open(o).read() for o in outs]
     assert results[0] == results[1], results
-    got = [int(t) for t in results[0].split(",")]
+    eng_line, sched_line = results[0].splitlines()
+    got = [int(t) for t in eng_line.split(",")]
+    got_sched = [
+        [int(t) for t in part.split(",")] for part in sched_line.split(";")
+    ]
 
     # single-process reference on the same synthetic model
     from ctransformers_tpu.engine.engine import Engine
@@ -59,3 +63,16 @@ def test_two_process_engine_matches_single(tmp_path):
     eng.eval([1, 5, 9])
     want = eng.decode(4, temperature=0.0, repetition_penalty=1.0)
     assert got == want, (got, want)
+
+    # multi-host continuous batching matches single-process scheduling
+    from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
+
+    params2 = random_params(spec, seed=0, quantize="q4_0", exact=False)
+    sched = BatchScheduler(spec, params2, batch_slots=2)
+    uids = [
+        sched.submit(Request(tokens=p, max_new_tokens=4, sampler="greedy"))
+        for p in ([1, 5, 9], [1, 7, 2, 4])
+    ]
+    res = sched.run(device_chunk=2)
+    want_sched = [res[u] for u in uids]
+    assert got_sched == want_sched, (got_sched, want_sched)
