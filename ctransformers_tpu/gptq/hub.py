@@ -1,4 +1,10 @@
-"""GPTQ model resolution (reference: ctransformers/gptq/hub.py)."""
+"""GPTQ model resolution.
+
+Behavior parity with reference ``ctransformers/gptq/hub.py``: accept a
+local directory or a Hub repo id, pull only the files a GPTQ checkpoint
+needs (safetensors weights + config + SentencePiece model), validate
+Config overrides, and hand off to the GPTQ-backed :class:`LLM`.
+"""
 
 from __future__ import annotations
 
@@ -8,40 +14,43 @@ from typing import Optional
 from ..llm import Config
 from .llm import LLM
 
+#: The only files a GPTQ checkout needs; anything else in the repo
+#: (original fp16 weights, tokenizer.json variants) is skipped.
+_NEEDED = ("*.safetensors", "config.json", "tokenizer.model")
+
+
+def _resolve_dir(
+    source: str, local_files_only: bool, revision: Optional[str]
+) -> str:
+    """Local directory as-is; otherwise a Hub snapshot of the needed files."""
+    if Path(source).is_dir():
+        return str(source)
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        repo_id=source,
+        allow_patterns=list(_NEEDED),
+        local_files_only=local_files_only,
+        revision=revision,
+    )
+
 
 class AutoModelForCausalLM:
     @classmethod
     def from_pretrained(
-        cls,
-        model_path_or_repo_id: str,
-        *,
-        model_type: Optional[str] = None,
-        local_files_only: bool = False,
-        revision: Optional[str] = None,
-        **kwargs,
+        cls, model_path_or_repo_id: str, *,
+        model_type: Optional[str] = None, local_files_only: bool = False,
+        revision: Optional[str] = None, **kwargs,
     ) -> LLM:
         config = Config()
-        for k, v in kwargs.items():
-            if not hasattr(config, k):
+        for key, value in kwargs.items():
+            if not hasattr(config, key):
                 raise TypeError(
-                    f"'{k}' is an invalid keyword argument for from_pretrained()"
+                    f"'{key}' is an invalid keyword argument for from_pretrained()"
                 )
-            setattr(config, k, v)
+            setattr(config, key, value)
 
-        path = Path(model_path_or_repo_id)
-        if path.is_dir():
-            model_dir = str(path)
-        else:
-            from huggingface_hub import snapshot_download
-
-            model_dir = snapshot_download(
-                repo_id=model_path_or_repo_id,
-                allow_patterns=[
-                    "*.safetensors",
-                    "config.json",
-                    "tokenizer.model",
-                ],
-                local_files_only=local_files_only,
-                revision=revision,
-            )
+        model_dir = _resolve_dir(
+            str(model_path_or_repo_id), local_files_only, revision
+        )
         return LLM(model_dir, model_type, config=config)

@@ -1,8 +1,20 @@
-"""Model resolution: local file/dir or Hugging Face Hub repo.
+"""Model resolution: turn "a path, a directory, or a Hub repo id" into a
+loaded :class:`~ctransformers_tpu.llm.LLM`.
 
-Behavior parity with the reference (ctransformers/hub.py): config.json
-model_type + text-generation sampling defaults, smallest *.bin/*.gguf file
-selection, "gptq" repo-name routing, `hf=True` 🤗 wrapper.
+Behavior contract (parity with reference ``ctransformers/hub.py``):
+
+* ``config.json`` supplies ``model_type`` plus the ``text-generation``
+  sampling defaults, which explicit kwargs override; unknown kwargs raise
+  ``TypeError`` (ref hub.py:55-60).
+* When no ``model_file`` is given, the *smallest* ``*.bin``/``*.gguf``
+  file in the directory or repo wins (ref hub.py:223-230, 245-253).
+* Repo ids containing ``gptq`` route to the GPTQ backend
+  (ref hub.py:139-149).
+* ``hf=True`` returns the 🤗-compatible wrapper instead of the raw LLM.
+
+The implementation here is organized around a single ``_ModelSource``
+object that abstracts "where the files live" (local dir vs. Hub snapshot),
+rather than parallel classmethod ladders per source kind.
 """
 
 from __future__ import annotations
@@ -10,28 +22,163 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from .llm import Config, LLM
 
+#: File suffixes that count as servable weight files.
+_WEIGHT_SUFFIXES = (".bin", ".gguf")
+
+#: config.json ``task_specific_params.text-generation`` keys we honor.
+_SAMPLING_KEYS = ("top_k", "top_p", "temperature", "repetition_penalty", "last_n_tokens")
+
+
+def _is_plausible_repo_id(name: str) -> bool:
+    """True when huggingface_hub is importable and accepts ``name`` as a
+    repo id. Without the hub package nothing can be downloaded anyway, so
+    we simply answer False."""
+    try:
+        from huggingface_hub.utils import HFValidationError, validate_repo_id
+    except ImportError:
+        return False
+    try:
+        validate_repo_id(name)
+    except HFValidationError:
+        return False
+    return True
+
 
 def get_path_type(path: str) -> Optional[str]:
+    """Classify a model source string.
+
+    Returns ``"file"`` / ``"dir"`` for existing local paths, ``"repo"``
+    for a string that validates as a Hub repo id, else ``None``.
+    """
     p = Path(path)
     if p.is_file():
         return "file"
     if p.is_dir():
         return "dir"
-    try:
-        from huggingface_hub.utils import HFValidationError, validate_repo_id
+    return "repo" if _is_plausible_repo_id(path) else None
 
-        try:
-            validate_repo_id(path)
-            return "repo"
-        except HFValidationError:
-            pass
-    except ImportError:
-        pass
-    return None
+
+@dataclass
+class _ModelSource:
+    """Uniform view over the three places a model can come from.
+
+    ``materialize`` lazily downloads (repo) or resolves (dir/file) and
+    afterwards every query — config.json contents, weight-file listing —
+    is a plain local-filesystem operation.
+    """
+
+    kind: str  # "file" | "dir" | "repo"
+    spec: str
+    local_files_only: bool = False
+    revision: Optional[str] = None
+
+    @classmethod
+    def open(
+        cls,
+        model_path_or_repo_id: str,
+        local_files_only: bool = False,
+        revision: Optional[str] = None,
+    ) -> "_ModelSource":
+        kind = get_path_type(str(model_path_or_repo_id))
+        if kind is None:
+            raise ValueError(f"Model path '{model_path_or_repo_id}' doesn't exist.")
+        return cls(
+            kind=kind,
+            spec=str(model_path_or_repo_id),
+            local_files_only=local_files_only,
+            revision=revision,
+        )
+
+    # -- config.json ------------------------------------------------------
+
+    def load_config_dict(self) -> Dict[str, Any]:
+        """Parsed config.json, or {} when absent / not applicable."""
+        if self.kind == "file":
+            return {}
+        if self.kind == "dir":
+            root = Path(self.spec)
+        else:
+            from huggingface_hub import snapshot_download
+
+            root = Path(
+                snapshot_download(
+                    repo_id=self.spec,
+                    allow_patterns="config.json",
+                    local_files_only=self.local_files_only,
+                    revision=self.revision,
+                )
+            )
+        cfg_file = (root / "config.json").resolve()
+        if not cfg_file.is_file():
+            return {}
+        with open(cfg_file) as f:
+            return json.load(f)
+
+    # -- weight files ------------------------------------------------------
+
+    def weight_file(self, model_file: Optional[str] = None) -> str:
+        """Absolute path of the weight file to serve.
+
+        A named ``model_file`` is looked up directly; otherwise the
+        smallest candidate wins (repo sizes come from the Hub API so only
+        the chosen file is downloaded).
+        """
+        if self.kind == "file":
+            return self.spec
+        if self.kind == "repo":
+            return self._weight_file_from_repo(model_file)
+        return self._pick_from_dir(Path(self.spec), model_file)
+
+    def _weight_file_from_repo(self, model_file: Optional[str]) -> str:
+        from huggingface_hub import snapshot_download
+
+        if model_file is None and not self.local_files_only:
+            model_file = self._smallest_repo_weight()
+        path = snapshot_download(
+            repo_id=self.spec,
+            allow_patterns=model_file or [f"*{s}" for s in _WEIGHT_SUFFIXES],
+            local_files_only=self.local_files_only,
+            revision=self.revision,
+        )
+        return self._pick_from_dir(Path(path), model_file)
+
+    def _smallest_repo_weight(self) -> str:
+        """Ask the Hub API for file metadata and return the name of the
+        smallest weight file (ref hub.py:223-230 behavior)."""
+        from huggingface_hub import HfApi
+
+        info = HfApi().repo_info(
+            repo_id=self.spec, files_metadata=True, revision=self.revision
+        )
+        ranked: List[Tuple[int, str]] = sorted(
+            (s.size, s.rfilename)
+            for s in info.siblings
+            if s.rfilename.endswith(_WEIGHT_SUFFIXES)
+        )
+        if not ranked:
+            raise ValueError(f"No model file found in repo '{self.spec}'")
+        return ranked[0][1]
+
+    @staticmethod
+    def _pick_from_dir(root: Path, model_file: Optional[str]) -> str:
+        root = root.resolve()
+        if model_file:
+            candidate = (root / model_file).resolve()
+            if not candidate.is_file():
+                raise ValueError(f"Model file '{model_file}' not found in '{root}'")
+            return str(candidate)
+        ranked = sorted(
+            (f.stat().st_size, str(f.resolve()))
+            for f in root.iterdir()
+            if f.is_file() and f.name.endswith(_WEIGHT_SUFFIXES)
+        )
+        if not ranked:
+            raise ValueError(f"No model file found in directory '{root}'")
+        return ranked[0][1]
 
 
 @dataclass
@@ -41,158 +188,95 @@ class AutoConfig:
 
     @classmethod
     def from_pretrained(
-        cls,
-        model_path_or_repo_id: str,
-        local_files_only: bool = False,
-        revision: Optional[str] = None,
-        **kwargs,
+        cls, model_path_or_repo_id: str, local_files_only: bool = False,
+        revision: Optional[str] = None, **kwargs,
     ) -> "AutoConfig":
-        path_type = get_path_type(model_path_or_repo_id)
-        if not path_type:
-            raise ValueError(f"Model path '{model_path_or_repo_id}' doesn't exist.")
+        """Build a Config from a source's config.json plus overrides.
 
-        config = Config()
-        auto_config = AutoConfig(config=config)
-
-        if path_type == "dir":
-            cls._update_from_dir(model_path_or_repo_id, auto_config)
-        elif path_type == "repo":
-            cls._update_from_repo(
-                model_path_or_repo_id,
-                auto_config,
-                local_files_only=local_files_only,
-                revision=revision,
-            )
-
-        for k, v in kwargs.items():
-            if not hasattr(config, k):
-                raise TypeError(
-                    f"'{k}' is an invalid keyword argument for from_pretrained()"
-                )
-            setattr(config, k, v)
-
-        return auto_config
-
-    @classmethod
-    def _update_from_repo(
-        cls,
-        repo_id: str,
-        auto_config: "AutoConfig",
-        local_files_only: bool,
-        revision: Optional[str] = None,
-    ) -> None:
-        from huggingface_hub import snapshot_download
-
-        path = snapshot_download(
-            repo_id=repo_id,
-            allow_patterns="config.json",
+        Precedence: explicit kwargs > config.json text-generation params >
+        Config defaults. Unknown kwargs raise TypeError so typos don't
+        silently vanish.
+        """
+        source = _ModelSource.open(
+            model_path_or_repo_id,
             local_files_only=local_files_only,
             revision=revision,
         )
-        cls._update_from_dir(path, auto_config)
+        raw = source.load_config_dict()
 
-    @classmethod
-    def _update_from_dir(cls, path: str, auto_config: "AutoConfig") -> None:
-        path = (Path(path) / "config.json").resolve()
-        if path.is_file():
-            cls._update_from_file(path, auto_config)
+        config = Config()
+        sampling = raw.get("task_specific_params", {}).get("text-generation", {})
+        for key in _SAMPLING_KEYS:
+            if sampling.get(key) is not None:
+                setattr(config, key, sampling[key])
+        for key, value in kwargs.items():
+            if not hasattr(config, key):
+                raise TypeError(
+                    f"'{key}' is an invalid keyword argument for from_pretrained()"
+                )
+            setattr(config, key, value)
 
-    @classmethod
-    def _update_from_file(cls, path: str, auto_config: "AutoConfig") -> None:
-        with open(path) as f:
-            config = json.load(f)
-
-        auto_config.model_type = config.get("model_type")
-        params = config.get("task_specific_params", {})
-        params = params.get("text-generation", {})
-        for name in [
-            "top_k",
-            "top_p",
-            "temperature",
-            "repetition_penalty",
-            "last_n_tokens",
-        ]:
-            value = params.get(name)
-            if value is not None:
-                setattr(auto_config.config, name, value)
+        return cls(config=config, model_type=raw.get("model_type"))
 
 
 class AutoModelForCausalLM:
     @classmethod
     def from_pretrained(
-        cls,
-        model_path_or_repo_id: str,
-        *,
-        model_type: Optional[str] = None,
-        model_file: Optional[str] = None,
-        config: Optional[AutoConfig] = None,
-        lib: Optional[str] = None,
-        lora: Optional[str] = None,
-        local_files_only: bool = False,
-        revision: Optional[str] = None,
-        hf: bool = False,
-        kv_dtype: Optional[str] = None,
-        **kwargs,
+        cls, model_path_or_repo_id: str, *,
+        model_type: Optional[str] = None, model_file: Optional[str] = None,
+        config: Optional[AutoConfig] = None, lib: Optional[str] = None,
+        lora: Optional[str] = None, local_files_only: bool = False,
+        revision: Optional[str] = None, hf: bool = False,
+        kv_dtype: Optional[str] = None, **kwargs,
     ) -> LLM:
-        """Loads the language model from a local file or remote repo.
+        """Resolve a local path / directory / Hub repo and load the model.
 
         Args:
-            model_path_or_repo_id: The path to a model file or directory or the
-            name of a Hugging Face Hub model repo.
-            model_type: The model type.
-            model_file: The name of the model file in repo or directory.
-            config: `AutoConfig` object.
-            lib: Ignored (kept for API compatibility).
-            local_files_only: Whether or not to only look at local files
-            (i.e., do not try to download the model).
-            revision: The specific model version to use. It can be a branch
-            name, a tag name, or a commit id.
-            hf: Whether to create a Hugging Face Transformers model.
-            kv_dtype: KV cache storage ("f32" | "bf16" | "int8"), forwarded
-            to `LLM`.
+            model_path_or_repo_id: Weight file, directory containing one,
+                or a Hugging Face Hub repo id.
+            model_type: Architecture name; inferred from config.json or
+                file magic when omitted.
+            model_file: Specific weight file inside a dir/repo (default:
+                smallest one).
+            config: Pre-built AutoConfig; built from the source otherwise.
+            lib: Accepted for reference API compatibility; there are no
+                CPU-ISA library variants on TPU so it is ignored.
+            lora: Path to a ggla LoRA adapter applied at load time.
+            local_files_only: Never hit the network; use cached files.
+            revision: Hub branch / tag / commit to pin.
+            hf: Return the 🤗 ``PreTrainedModel`` wrapper instead.
+            kv_dtype: KV-cache storage type ("f32" | "bf16" | "int8").
 
         Returns:
-            `LLM` object.
+            An ``LLM`` (or ``CTransformersModel`` when ``hf=True``).
         """
+        # "gptq" anywhere in the source name routes to the GPTQ backend,
+        # matching the reference's repo-name heuristic (ref hub.py:139).
         if model_type is None and "gptq" in str(model_path_or_repo_id).lower():
             model_type = "gptq"
         if model_type == "gptq":
             from . import gptq
 
             return gptq.AutoModelForCausalLM.from_pretrained(
+                model_path_or_repo_id, local_files_only=local_files_only,
+                revision=revision, **kwargs)
+
+        if config is None:
+            config = AutoConfig.from_pretrained(
                 model_path_or_repo_id,
                 local_files_only=local_files_only,
                 revision=revision,
                 **kwargs,
             )
 
-        config = config or AutoConfig.from_pretrained(
+        source = _ModelSource.open(
             model_path_or_repo_id,
             local_files_only=local_files_only,
             revision=revision,
-            **kwargs,
         )
-        model_type = model_type or config.model_type
-
-        path_type = get_path_type(model_path_or_repo_id)
-        model_path = None
-        if path_type == "file":
-            model_path = model_path_or_repo_id
-        elif path_type == "dir":
-            model_path = cls._find_model_path_from_dir(
-                model_path_or_repo_id, model_file
-            )
-        elif path_type == "repo":
-            model_path = cls._find_model_path_from_repo(
-                model_path_or_repo_id,
-                model_file,
-                local_files_only=local_files_only,
-                revision=revision,
-            )
-
         llm = LLM(
-            model_path=model_path,
-            model_type=model_type,
+            model_path=source.weight_file(model_file),
+            model_type=model_type or config.model_type,
             config=config.config,
             lib=lib,
             lora=lora,
@@ -203,91 +287,24 @@ class AutoModelForCausalLM:
 
         from .transformers import CTransformersConfig, CTransformersModel
 
-        config = CTransformersConfig(name_or_path=str(model_path_or_repo_id))
-        return CTransformersModel(config=config, llm=llm)
-
-    @classmethod
-    def _find_model_path_from_repo(
-        cls,
-        repo_id: str,
-        filename: Optional[str],
-        local_files_only: bool,
-        revision: Optional[str] = None,
-    ) -> str:
-        from huggingface_hub import snapshot_download
-
-        if not filename and not local_files_only:
-            filename = cls._find_model_file_from_repo(
-                repo_id=repo_id,
-                revision=revision,
-            )
-        allow_patterns = filename or ["*.bin", "*.gguf"]
-        path = snapshot_download(
-            repo_id=repo_id,
-            allow_patterns=allow_patterns,
-            local_files_only=local_files_only,
-            revision=revision,
-        )
-        return cls._find_model_path_from_dir(path, filename=filename)
-
-    @classmethod
-    def _find_model_file_from_repo(
-        cls,
-        repo_id: str,
-        revision: Optional[str] = None,
-    ) -> Optional[str]:
-        from huggingface_hub import HfApi
-
-        api = HfApi()
-        repo_info = api.repo_info(
-            repo_id=repo_id,
-            files_metadata=True,
-            revision=revision,
-        )
-        # pick the smallest model file (reference hub.py:223-230)
-        files = [
-            (f.size, f.rfilename)
-            for f in repo_info.siblings
-            if f.rfilename.endswith(".bin") or f.rfilename.endswith(".gguf")
-        ]
-        if not files:
-            raise ValueError(f"No model file found in repo '{repo_id}'")
-        return min(files)[1]
-
-    @classmethod
-    def _find_model_path_from_dir(
-        cls,
-        path: str,
-        filename: Optional[str] = None,
-    ) -> str:
-        path = Path(path).resolve()
-        if filename:
-            file = (path / filename).resolve()
-            if not file.is_file():
-                raise ValueError(f"Model file '{filename}' not found in '{path}'")
-            return str(file)
-
-        files = [
-            (f.stat().st_size, f)
-            for f in path.iterdir()
-            if f.is_file() and (f.name.endswith(".bin") or f.name.endswith(".gguf"))
-        ]
-        if not files:
-            raise ValueError(f"No model file found in directory '{path}'")
-        file = min(files)[1]
-        return str(file.resolve())
+        hf_config = CTransformersConfig(name_or_path=str(model_path_or_repo_id))
+        return CTransformersModel(config=hf_config, llm=llm)
 
 
 class AutoTokenizer:
     @classmethod
     def from_pretrained(cls, model):
+        """Wrap the tokenizer of an ``hf=True`` model.
+
+        Only the model-object form is supported (the vocabulary lives
+        inside the loaded weight file, not in separate tokenizer files).
+        """
         from .transformers import CTransformersModel, CTransformersTokenizer
 
         if not isinstance(model, CTransformersModel):
             raise TypeError(
-                f"Currently `AutoTokenizer.from_pretrained` only accepts a model object. Please use:\n\n"
+                "AutoTokenizer.from_pretrained takes the model object itself:\n\n"
                 "  model = AutoModelForCausalLM.from_pretrained(..., hf=True)\n"
                 "  tokenizer = AutoTokenizer.from_pretrained(model)"
             )
-
         return CTransformersTokenizer(model._llm)

@@ -1,20 +1,22 @@
-"""LangChain adapter (API parity with ctransformers/langchain.py).
+"""LangChain integration.
 
-The import is guarded: langchain is optional and not baked into the image,
-so this module raises a helpful ImportError when absent.
+Registers a ``CTransformers`` LLM class whose field schema matches the
+reference integration (reference ``ctransformers/langchain.py``), backed by
+the TPU engine. langchain itself is optional and not baked into the image,
+so importing this module without it raises a pointed ImportError.
 """
-
-try:
-    from langchain.llms.base import LLM
-except ImportError:
-    raise ImportError(
-        "To use the ctransformers_tpu.langchain module, please install the "
-        "`langchain` python package: `pip install langchain`"
-    )
 
 from typing import Any, Dict, Optional, Sequence
 
-try:  # pydantic v1 shim inside langchain, plain pydantic otherwise
+try:
+    from langchain.llms.base import LLM
+except ImportError as e:
+    raise ImportError(
+        "ctransformers_tpu.langchain requires the `langchain` package "
+        "(pip install langchain)"
+    ) from e
+
+try:  # langchain vendors pydantic v1 under langchain.pydantic_v1
     from langchain.pydantic_v1 import root_validator
 except ImportError:  # pragma: no cover
     from pydantic import root_validator
@@ -25,72 +27,51 @@ from .hub import AutoModelForCausalLM
 
 
 class CTransformers(LLM):
-    """Wrapper around the TPU-native ctransformers LLM interface."""
+    """LangChain LLM backed by the TPU-native ctransformers engine."""
 
     client: Any  #: :meta private:
 
     model: str
-    """The path to a model file or directory or the name of a Hugging Face
-    Hub model repo."""
+    """Weight file, directory, or Hugging Face Hub repo id."""
 
     model_type: Optional[str] = None
-    """The model type."""
+    """Architecture name (inferred when omitted)."""
 
     model_file: Optional[str] = None
-    """The name of the model file in repo or directory."""
+    """Specific weight file inside a directory or repo."""
 
     config: Optional[Dict[str, Any]] = None
-    """The config parameters."""
+    """Generation/config overrides forwarded to ``from_pretrained``."""
 
     lib: Optional[Any] = None
-    """Ignored (kept for API compatibility with the reference)."""
-
-    @property
-    def _identifying_params(self) -> Dict[str, Any]:
-        """Get the identifying parameters."""
-        return {
-            "model": self.model,
-            "model_type": self.model_type,
-            "model_file": self.model_file,
-            "config": self.config,
-        }
+    """Accepted for reference compatibility; no-op on TPU."""
 
     @property
     def _llm_type(self) -> str:
-        """Return type of llm."""
         return "ctransformers"
+
+    @property
+    def _identifying_params(self) -> Dict[str, Any]:
+        return {
+            field: getattr(self, field)
+            for field in ("model", "model_type", "model_file", "config")
+        }
 
     @root_validator()
     def validate_environment(cls, values: Dict) -> Dict:
-        """Validate and load model from a local file or remote repo."""
-        config = values["config"] or {}
+        """Load the model eagerly so a bad path fails at construction."""
+        overrides = dict(values["config"] or {})
         values["client"] = AutoModelForCausalLM.from_pretrained(
-            values["model"],
-            model_type=values["model_type"],
-            model_file=values["model_file"],
-            lib=values["lib"],
-            **config,
-        )
+            values["model"], model_type=values["model_type"],
+            model_file=values["model_file"], lib=values["lib"], **overrides)
         return values
 
-    def _call(
-        self,
-        prompt: str,
-        stop: Optional[Sequence[str]] = None,
-        run_manager: Optional[CallbackManagerForLLMRun] = None,
-    ) -> str:
-        """Generate text from a prompt.
-
-        Args:
-            prompt: The prompt to generate text from.
-            stop: A list of sequences to stop generation when encountered.
-
-        Returns:
-            The generated text.
-        """
-        text = []
-        for chunk in self.client(prompt, stop=stop, stream=True):
-            text.append(chunk)
-            if run_manager:
-                run_manager.on_llm_new_token(chunk, verbose=self.verbose)
-        return "".join(text)
+    def _call(self, prompt, stop=None, run_manager=None) -> str:
+        """Stream tokens from the engine, relaying each chunk to the
+        callback manager, and return the concatenated completion."""
+        pieces = []
+        for piece in self.client(prompt, stop=stop, stream=True):
+            if run_manager is not None:
+                run_manager.on_llm_new_token(piece, verbose=self.verbose)
+            pieces.append(piece)
+        return "".join(pieces)

@@ -34,31 +34,30 @@ from .utils import TextStreamer
 
 @dataclass
 class Config:
-    """All knobs, defaults identical to the reference (llm.py:38-70)."""
+    """Generation/runtime knobs.
 
-    # sample
-    top_k: int = 40
-    top_p: float = 0.95
-    temperature: float = 0.8
-    repetition_penalty: float = 1.1
-    last_n_tokens: int = 64
-    seed: int = -1
+    Field names and defaults match the reference Config (llm.py:38-70) so
+    existing call sites keep working; `threads`/`gpu_layers`/`mmap`/`mlock`
+    are accepted for compatibility but XLA owns scheduling and weights are
+    HBM-resident on TPU.
+    """
 
-    # eval
-    batch_size: int = 8
-    threads: int = -1
-
-    # generate
-    max_new_tokens: int = 256
-    stop: Optional[Sequence[str]] = None
-    stream: bool = False
-    reset: bool = True
-
-    # model
-    context_length: int = -1
-    gpu_layers: int = 0
-    mmap: bool = True
-    mlock: bool = False
+    top_k: int = 40                  # sampler: top-k cutoff
+    top_p: float = 0.95              # sampler: nucleus mass
+    temperature: float = 0.8         # sampler: softmax temperature
+    repetition_penalty: float = 1.1  # sampler: repeat discouragement
+    last_n_tokens: int = 64          # sampler: penalty window
+    seed: int = -1                   # sampler: <0 = fresh seed per call
+    batch_size: int = 8              # eval: prompt slice size
+    threads: int = -1                # eval: no-op on TPU
+    max_new_tokens: int = 256        # generate: output budget
+    stop: Optional[Sequence[str]] = None  # generate: stop strings
+    stream: bool = False             # generate: yield chunks vs one string
+    reset: bool = True               # generate: drop stale state first
+    context_length: int = -1         # model: context-window override
+    gpu_layers: int = 0              # model: no-op on TPU
+    mmap: bool = True                # model: loader hint
+    mlock: bool = False              # model: loader hint
 
 
 # One-line help per Config knob, rendered into method docstrings by
@@ -126,13 +125,14 @@ class LLM:
         lora: Optional[str] = None,
         kv_dtype: Optional[str] = None,
     ):
-        """Loads the language model from a local file.
+        """Load a model file and build the TPU engine for it.
 
         Args:
-            model_path: The path to a model file.
-            model_type: The model type.
-            config: `Config` object.
-            lib: Ignored (kept for API compatibility with the reference).
+            model_path: Weight file on local disk (GGUF/GGML/GGJT/...).
+            model_type: Architecture name; GGUF files self-describe and
+                may omit it.
+            config: Generation defaults (a fresh `Config` when omitted).
+            lib: Accepted for reference API compatibility; no effect.
             lora: Optional path to a ggla LoRA adapter (llama models;
                 reference llama_apply_lora_from_file, llama.cpp:5002-5277).
             kv_dtype: KV cache storage: "f32" (default), "bf16" (also
@@ -155,12 +155,13 @@ class LLM:
             raise ValueError(f"Model path '{model_path}' doesn't exist.")
 
         if not model_type:
-            if not is_gguf(model_path):
+            if is_gguf(model_path):
+                model_type = "gguf"  # GGUF self-describes its architecture
+            else:
                 raise ValueError(
                     "Unable to detect model type. Please specify a model type using:\n\n"
                     "  AutoModelForCausalLM.from_pretrained(..., model_type='...')\n\n"
                 )
-            model_type = "gguf"
 
         bundle = load_model(
             model_path, model_type, context_length=config.context_length
@@ -192,58 +193,46 @@ class LLM:
         # Engine sharing the device-resident weights, with its own KV)
         self._guidance: Optional[Engine] = None
 
-    # -- properties ---------------------------------------------------------
+    # -- read-only surface (same property set as the reference LLM) ---------
 
-    @property
-    def model_path(self) -> str:
-        """The path to the model file."""
-        return self._model_path
-
-    @property
-    def model_type(self) -> str:
-        """The model type."""
-        return self._model_type
-
-    @property
-    def config(self) -> Config:
-        """The config object."""
-        return self._config
-
-    @property
-    def eos_token_id(self) -> int:
-        """The end-of-sequence token."""
-        return self._bundle.vocab.eos_token_id()
-
-    @property
-    def bos_token_id(self) -> int:
-        """The beginning-of-sequence token."""
-        return self._bundle.vocab.bos_token_id()
-
-    @property
-    def pad_token_id(self) -> int:
-        """The padding token."""
-        return self.eos_token_id
-
-    @property
-    def vocab_size(self) -> int:
-        """The number of tokens in vocabulary."""
-        return len(self._bundle.vocab)
-
-    @property
-    def context_length(self) -> int:
-        """The context length of model."""
-        return self._bundle.spec.n_ctx
+    model_path = property(
+        lambda self: self._model_path, doc="Path of the loaded weight file."
+    )
+    model_type = property(
+        lambda self: self._model_type, doc="Architecture name being served."
+    )
+    config = property(lambda self: self._config, doc="Generation defaults.")
+    eos_token_id = property(
+        lambda self: self._bundle.vocab.eos_token_id(),
+        doc="End-of-sequence token id.",
+    )
+    bos_token_id = property(
+        lambda self: self._bundle.vocab.bos_token_id(),
+        doc="Beginning-of-sequence token id.",
+    )
+    pad_token_id = property(
+        lambda self: self.eos_token_id, doc="Padding token id (aliases EOS)."
+    )
+    vocab_size = property(
+        lambda self: len(self._bundle.vocab), doc="Vocabulary size."
+    )
+    context_length = property(
+        lambda self: self._bundle.spec.n_ctx, doc="Context window in tokens."
+    )
 
     @property
     def logits(self) -> np.ndarray:
-        """The unnormalized log probabilities (mutable view)."""
+        """Raw next-token logits from the last eval — a writable array, so
+        callers may edit them in place before `sample()` (logit bias etc.),
+        matching the reference's mutable logits contract."""
         if self._engine.logits is None:
             return np.zeros(0, np.float32)
         return self._engine.logits
 
     @property
     def embeddings(self) -> List[float]:
-        """The input embeddings."""
+        """Pooled input embedding of the last eval ([] for architectures
+        without embedding support)."""
         if not self._bundle.supports_embeddings or self._engine.hidden is None:
             return []
         return list(np.asarray(self._engine.hidden, np.float32))
@@ -251,15 +240,9 @@ class LLM:
     # -- core methods ---------------------------------------------------------
 
     def tokenize(self, text: str, add_bos_token: Optional[bool] = None) -> List[int]:
-        """Converts a text into list of tokens.
-
-        Args:
-            text: The text to tokenize.
-            add_bos_token: Whether to add the beginning-of-sequence token.
-
-        Returns:
-            The list of tokens.
-        """
+        """Encode `text` to token ids. BOS is prepended by default only
+        for llama-family models (their SPM training convention); pass
+        `add_bos_token` to force either way."""
         if add_bos_token is None:
             add_bos_token = self.model_type == "llama"
         return self._bundle.tokenizer.tokenize(text, add_bos_token)
@@ -267,15 +250,10 @@ class LLM:
     def detokenize(
         self, tokens: Sequence[int], decode: bool = True
     ) -> Union[str, bytes]:
-        """Converts a list of tokens to text.
-
-        Args:
-            tokens: The list of tokens.
-            decode: Whether to decode the text as UTF-8 string.
-
-        Returns:
-            The combined text of all tokens.
-        """
+        """Decode token ids (or a single id) back to text. With
+        `decode=False` the raw UTF-8 bytes are returned — callers that
+        stream token-by-token need the bytes to stitch split multi-byte
+        characters back together."""
         if isinstance(tokens, int):
             tokens = [tokens]
         texts = b"".join(self._bundle.tokenizer.detokenize(t) for t in tokens)
@@ -288,28 +266,20 @@ class LLM:
         return texts
 
     def is_eos_token(self, token: int) -> bool:
-        """Checks if a token is an end-of-sequence token.
-
-        Args:
-            token: The token to check.
-
-        Returns:
-            `True` if the token is an end-of-sequence token else `False`.
-        """
+        """Whether `token` terminates generation for this model (vocab EOS
+        plus per-arch specials like StarChat's <|end|>)."""
         return self._bundle.vocab.is_eos_token(token)
 
     @doc
     def eval(
-        self,
-        tokens: Sequence[int],
-        *,
-        batch_size: Optional[int] = None,
-        threads: Optional[int] = None,
+        self, tokens: Sequence[int], *,
+        batch_size: Optional[int] = None, threads: Optional[int] = None,
     ) -> None:
-        """Evaluates a list of tokens.
+        """Run the forward pass over `tokens`, appending to the cached
+        context; afterwards `logits` holds the next-token distribution.
 
         Args:
-            tokens: The list of tokens to evaluate.
+            tokens: Token ids to evaluate.
             {params}
         """
         del batch_size, threads  # XLA owns scheduling; kept for API parity
@@ -324,23 +294,18 @@ class LLM:
 
     @doc
     def sample(
-        self,
-        *,
-        top_k: Optional[int] = None,
-        top_p: Optional[float] = None,
+        self, *,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
-        last_n_tokens: Optional[int] = None,
-        seed: Optional[int] = None,
-        tfs_z: Optional[float] = None,
-        typical_p: Optional[float] = None,
+        last_n_tokens: Optional[int] = None, seed: Optional[int] = None,
+        tfs_z: Optional[float] = None, typical_p: Optional[float] = None,
         frequency_penalty: Optional[float] = None,
         presence_penalty: Optional[float] = None,
-        mirostat: Optional[int] = None,
-        mirostat_tau: Optional[float] = None,
+        mirostat: Optional[int] = None, mirostat_tau: Optional[float] = None,
         mirostat_eta: Optional[float] = None,
     ) -> int:
-        """Samples a token from the model.
+        """Draw one token id from the current `logits`.
 
         The extended knobs (tfs_z, typical_p, frequency/presence penalties,
         mirostat v1/v2) expose the reference engine's full sampler suite
@@ -351,16 +316,13 @@ class LLM:
             {params}
 
         Returns:
-            The sampled token.
+            The sampled token id.
         """
-        config = self.config
-        top_k = get(top_k, config.top_k)
-        top_p = get(top_p, config.top_p)
-        temperature = get(temperature, config.temperature)
-        repetition_penalty = get(repetition_penalty, config.repetition_penalty)
-        last_n_tokens = get(last_n_tokens, config.last_n_tokens)
-        seed = get(seed, config.seed)
-
+        cfg = self.config
+        top_k, top_p = get(top_k, cfg.top_k), get(top_p, cfg.top_p)
+        temperature = get(temperature, cfg.temperature)
+        repetition_penalty = get(repetition_penalty, cfg.repetition_penalty)
+        last_n_tokens, seed = get(last_n_tokens, cfg.last_n_tokens), get(seed, cfg.seed)
         if last_n_tokens < 0:
             last_n_tokens = self.context_length
         last_tokens = self._context[-last_n_tokens:]
@@ -424,35 +386,31 @@ class LLM:
 
     @doc
     def prepare_inputs_for_generation(
-        self,
-        tokens: Sequence[int],
-        *,
-        reset: Optional[bool] = None,
+        self, tokens: Sequence[int], *, reset: Optional[bool] = None,
     ) -> Sequence[int]:
-        """Removes input tokens that are evaluated in the past and updates the LLM context.
+        """Trim `tokens` down to the suffix that still needs evaluating,
+        reusing the longest prefix already in the KV cache (and rewinding
+        the cache past any divergence point).
 
         Args:
-            tokens: The list of input tokens.
+            tokens: Full input token list.
             {params}
 
         Returns:
-            The list of tokens to evaluate.
+            The tokens that must actually be evaluated.
         """
-        config = self.config
-        reset = get(reset, config.reset)
-
-        if not reset:
+        if not get(reset, self.config.reset):
             return tokens
 
-        # Keep at least one input token to evaluate the logits.
-        n = min(len(tokens) - 1, len(self._context))
-        l = 0
-        while l < n and tokens[l] == self._context[l]:
-            l += 1
-        tokens = tokens[l:]
-        self._context = self._context[:l]
-        self._engine.rewind(l)
-        return tokens
+        # Shared-prefix scan, capped one short of the full input so at
+        # least one token is evaluated and logits stay fresh.
+        limit = min(len(tokens) - 1, len(self._context))
+        keep = 0
+        while keep < limit and tokens[keep] == self._context[keep]:
+            keep += 1
+        self._context = self._context[:keep]
+        self._engine.rewind(keep)
+        return tokens[keep:]
 
     def _guidance_begin(
         self, negative_prompt: Optional[str], prompt_tokens: Sequence[int]
@@ -487,23 +445,18 @@ class LLM:
 
     @doc
     def generate(
-        self,
-        tokens: Sequence[int],
-        *,
-        top_k: Optional[int] = None,
-        top_p: Optional[float] = None,
+        self, tokens: Sequence[int], *,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
-        last_n_tokens: Optional[int] = None,
-        seed: Optional[int] = None,
-        batch_size: Optional[int] = None,
-        threads: Optional[int] = None,
-        reset: Optional[bool] = None,
-        grammar=None,
+        last_n_tokens: Optional[int] = None, seed: Optional[int] = None,
+        batch_size: Optional[int] = None, threads: Optional[int] = None,
+        reset: Optional[bool] = None, grammar=None,
         guidance_scale: Optional[float] = None,
         negative_prompt: Optional[str] = None,
     ) -> Generator[int, None, None]:
-        """Generates new tokens from a list of tokens.
+        """Token-level generation loop: eval the prompt once, then yield
+        sampled ids until EOS (the caller enforces any length budget).
 
         `grammar` constrains sampling to a GBNF grammar (text or a
         pre-built engine.grammar.Grammar) — the reference's
@@ -516,11 +469,11 @@ class LLM:
         llama.cpp:4139-4173).
 
         Args:
-            tokens: The list of tokens to generate tokens from.
+            tokens: Prompt token ids.
             {params}
 
         Returns:
-            The generated tokens.
+            A generator of sampled token ids.
         """
         if grammar is not None and isinstance(grammar, str):
             from .engine.grammar import Grammar
@@ -568,22 +521,15 @@ class LLM:
             yield token
 
     def _stream(
-        self,
-        prompt: str,
-        *,
+        self, prompt: str, *,
         max_new_tokens: Optional[int] = None,
-        top_k: Optional[int] = None,
-        top_p: Optional[float] = None,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
-        last_n_tokens: Optional[int] = None,
-        seed: Optional[int] = None,
-        batch_size: Optional[int] = None,
-        threads: Optional[int] = None,
-        stop: Optional[Sequence[str]] = None,
-        reset: Optional[bool] = None,
-        grammar=None,
-        guidance_scale: Optional[float] = None,
+        last_n_tokens: Optional[int] = None, seed: Optional[int] = None,
+        batch_size: Optional[int] = None, threads: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None, reset: Optional[bool] = None,
+        grammar=None, guidance_scale: Optional[float] = None,
         negative_prompt: Optional[str] = None,
     ) -> Generator[str, None, None]:
         config = self.config
@@ -599,19 +545,11 @@ class LLM:
         streamer = TextStreamer(stop)
         count = 0
         for token in self.generate(
-            tokens,
-            top_k=top_k,
-            top_p=top_p,
-            temperature=temperature,
+            tokens, top_k=top_k, top_p=top_p, temperature=temperature,
             repetition_penalty=repetition_penalty,
-            last_n_tokens=last_n_tokens,
-            seed=seed,
-            batch_size=batch_size,
-            threads=threads,
-            reset=reset,
-            grammar=grammar,
-            guidance_scale=guidance_scale,
-            negative_prompt=negative_prompt,
+            last_n_tokens=last_n_tokens, seed=seed, batch_size=batch_size,
+            threads=threads, reset=reset, grammar=grammar,
+            guidance_scale=guidance_scale, negative_prompt=negative_prompt,
         ):
             chunk = streamer.feed(self.detokenize([token], decode=False))
             if chunk:
@@ -628,53 +566,37 @@ class LLM:
 
     @doc
     def __call__(
-        self,
-        prompt: str,
-        *,
+        self, prompt: str, *,
         max_new_tokens: Optional[int] = None,
-        top_k: Optional[int] = None,
-        top_p: Optional[float] = None,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
-        last_n_tokens: Optional[int] = None,
-        seed: Optional[int] = None,
-        batch_size: Optional[int] = None,
-        threads: Optional[int] = None,
-        stop: Optional[Sequence[str]] = None,
-        stream: Optional[bool] = None,
-        reset: Optional[bool] = None,
-        grammar=None,
+        last_n_tokens: Optional[int] = None, seed: Optional[int] = None,
+        batch_size: Optional[int] = None, threads: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None, stream: Optional[bool] = None,
+        reset: Optional[bool] = None, grammar=None,
         guidance_scale: Optional[float] = None,
         negative_prompt: Optional[str] = None,
     ) -> Union[str, Generator[str, None, None]]:
-        """Generates text from a prompt.
+        """Text-level entry point: prompt in, completion out (or a chunk
+        generator with `stream=True`).
 
         Args:
-            prompt: The prompt to generate text from.
+            prompt: Input text.
             {params}
 
         Returns:
-            The generated text.
+            The completion string, or a generator of text chunks.
         """
         config = self.config
         stream = get(stream, config.stream)
 
         text = self._stream(
-            prompt,
-            max_new_tokens=max_new_tokens,
-            top_k=top_k,
-            top_p=top_p,
-            temperature=temperature,
-            repetition_penalty=repetition_penalty,
-            last_n_tokens=last_n_tokens,
-            seed=seed,
-            batch_size=batch_size,
-            threads=threads,
-            stop=stop,
-            reset=reset,
-            grammar=grammar,
-            guidance_scale=guidance_scale,
-            negative_prompt=negative_prompt,
+            prompt, max_new_tokens=max_new_tokens, top_k=top_k, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+            last_n_tokens=last_n_tokens, seed=seed, batch_size=batch_size,
+            threads=threads, stop=stop, reset=reset, grammar=grammar,
+            guidance_scale=guidance_scale, negative_prompt=negative_prompt,
         )
         if stream:
             return text
@@ -682,22 +604,18 @@ class LLM:
 
     @doc
     def embed(
-        self,
-        input: Union[str, Sequence[int]],
-        *,
-        batch_size: Optional[int] = None,
-        threads: Optional[int] = None,
+        self, input: Union[str, Sequence[int]], *,
+        batch_size: Optional[int] = None, threads: Optional[int] = None,
     ) -> List[float]:
-        """Computes embeddings for a text or list of tokens.
-
-        > **Note:** Currently only LLaMA and Falcon models support embeddings.
+        """Embedding of a text or token list (llama/falcon only — the
+        other architectures don't expose a pooled hidden state).
 
         Args:
-            input: The input text or list of tokens to get embeddings for.
+            input: Text or token ids to embed.
             {params}
 
         Returns:
-            The input embeddings.
+            The embedding vector as a list of floats.
         """
         if isinstance(input, str):
             input = self.tokenize(input)
@@ -818,21 +736,14 @@ class LLM:
         return list(self._context)
 
     def generate_fast(
-        self,
-        prompt: str,
-        *,
+        self, prompt: str, *,
         max_new_tokens: Optional[int] = None,
-        top_k: Optional[int] = None,
-        top_p: Optional[float] = None,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
         temperature: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
-        last_n_tokens: Optional[int] = None,
-        seed: Optional[int] = None,
-        stop: Optional[Sequence[str]] = None,
-        reset: Optional[bool] = None,
-        grammar=None,
-        abort_callback=None,
-        chunk: Optional[int] = None,
+        last_n_tokens: Optional[int] = None, seed: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None, reset: Optional[bool] = None,
+        grammar=None, abort_callback=None, chunk: Optional[int] = None,
     ) -> str:
         """High-throughput generation: the sample->eval loop runs on device
         in `chunk`-token compiled segments (Engine.decode_chunked) instead
