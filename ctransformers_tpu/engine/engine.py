@@ -595,3 +595,29 @@ class Engine:
                 jax.profiler.stop_trace()
 
         return _ctx()
+
+    def system_info(self) -> str:
+        """One-line runtime configuration report: device backend, mesh
+        topology, KV cache dtype/layout, and the kernel mode the autotuner
+        picked per weight shape (reference: llama_print_system_info,
+        llama.cpp:6227-6248 — SIMD flags there, compiled-path facts here)."""
+        from ..utils import system_info as base_info
+
+        parts = [base_info()]
+        if self.mesh is not None:
+            shape = dict(self.mesh.shape)
+            parts.append(f"mesh = {shape}")
+        parts.append(f"batch = {self.batch}")
+        parts.append(f"kv_dtype = {jnp.dtype(self.kv_dtype).name}")
+        kernels = sorted(
+            {
+                "xla" if v == ("xla",) else f"pallas:{v[3] or 'plain'}"
+                for v in qm._TILE_CACHE.values()
+            }
+        )
+        if kernels:
+            parts.append(f"qmm_kernels = {{{', '.join(kernels)}}}")
+        return " | ".join(parts)
+
+    def print_system_info(self) -> None:
+        print(self.system_info())

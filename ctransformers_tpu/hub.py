@@ -227,7 +227,7 @@ class AutoModelForCausalLM:
         config: Optional[AutoConfig] = None, lib: Optional[str] = None,
         lora: Optional[str] = None, local_files_only: bool = False,
         revision: Optional[str] = None, hf: bool = False,
-        kv_dtype: Optional[str] = None, **kwargs,
+        kv_dtype: Optional[str] = None, progress_callback=None, **kwargs,
     ) -> LLM:
         """Resolve a local path / directory / Hub repo and load the model.
 
@@ -246,6 +246,8 @@ class AutoModelForCausalLM:
             revision: Hub branch / tag / commit to pin.
             hf: Return the 🤗 ``PreTrainedModel`` wrapper instead.
             kv_dtype: KV-cache storage type ("f32" | "bf16" | "int8").
+            progress_callback: Called with a 0..1 fraction as weights
+                load/repack (reference: llama_progress_callback).
 
         Returns:
             An ``LLM`` (or ``CTransformersModel`` when ``hf=True``).
@@ -281,6 +283,7 @@ class AutoModelForCausalLM:
             lib=lib,
             lora=lora,
             kv_dtype=kv_dtype,
+            progress_callback=progress_callback,
         )
         if not hf:
             return llm

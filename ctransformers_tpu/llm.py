@@ -124,6 +124,7 @@ class LLM:
         lib: Optional[str] = None,
         lora: Optional[str] = None,
         kv_dtype: Optional[str] = None,
+        progress_callback=None,
     ):
         """Load a model file and build the TPU engine for it.
 
@@ -140,6 +141,9 @@ class LLM:
                 type; same byte width as the reference's f16_kv), or
                 "int8" (per-token-head quantized rows; halves cache HBM
                 traffic). Also settable via the CT_KV_DTYPE env var.
+            progress_callback: Called with a 0..1 fraction as weights
+                load and repack (reference: llama_progress_callback,
+                llama.h:139-142).
         """
         from .utils import is_gguf
 
@@ -164,7 +168,10 @@ class LLM:
                 )
 
         bundle = load_model(
-            model_path, model_type, context_length=config.context_length
+            model_path,
+            model_type,
+            context_length=config.context_length,
+            progress_callback=progress_callback,
         )
         if lora:
             from .tools.lora import apply_lora

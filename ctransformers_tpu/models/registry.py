@@ -53,9 +53,16 @@ class ModelBundle:
 
 
 def load_model(
-    model_path: str, model_type: str, context_length: int = -1
+    model_path: str,
+    model_type: str,
+    context_length: int = -1,
+    progress_callback=None,
 ) -> ModelBundle:
+    """`progress_callback(fraction)` mirrors the reference's loader hook
+    (llama_progress_callback, llama.h:139-142); loaders that don't report
+    progress call it once at completion."""
     import importlib
+    import inspect
 
     mtype = normalize_type(model_type or "")
     if mtype != "gguf" and is_gguf(model_path):
@@ -63,4 +70,13 @@ def load_model(
     if mtype not in _LOADERS:
         raise ValueError(f"Model type '{model_type}' is not supported.")
     module = importlib.import_module(f".{_LOADERS[mtype]}", __package__)
-    return module.load_bundle(model_path, context_length)
+    if progress_callback is not None and (
+        "progress_callback" in inspect.signature(module.load_bundle).parameters
+    ):
+        return module.load_bundle(
+            model_path, context_length, progress_callback=progress_callback
+        )
+    bundle = module.load_bundle(model_path, context_length)
+    if progress_callback is not None:
+        progress_callback(1.0)
+    return bundle

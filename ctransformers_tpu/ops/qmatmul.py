@@ -1006,6 +1006,88 @@ def _qmm_i4_s_kernel(
     out_ref[:] += acc
 
 
+def _qmm_g_kernel(
+    xg_ref, *rest, group, zp, inner, packed4, cd=None, dd=None,
+    has_mins=False, sfactor=0, has_xs=False,
+):
+    """GROUPED-DOT kernel ("g" mode) — the TPU re-expression of the
+    reference's MMVQ partial-sum rescale (ggml-cuda.cu:3754-3790), minus
+    the activation quantization it doesn't need: per quant group g,
+    compute the raw integer-grid dot (x · w4)[g] with a bf16 MXU dot
+    batched over groups, then apply the f32 group scale to the PARTIAL
+    SUM: out = sum_g s[g,n] * (x·w4)[g,m,n] + sum_g xsum[g,m] * B[g,n].
+
+    Per-weight-element VPU work drops to bitcast + one int4->bf16 cast —
+    no per-element scale multiply, no f32 pass (the champion "si" chain
+    pays cast + mul + cast). The affine bias B folds through the same
+    xsum MXU dot as the "s"/"si" kernels. Activations arrive pre-grouped
+    as (ng, mp, G) bf16 (arranged once per step outside the kernel).
+    Exactness: w4 in [-8, 7] and int8 grids are exact in bf16; the dot
+    accumulates f32; scales apply in f32 — quantization error identical
+    to the "si" path (bf16 rounding moves from the scaled weight to the
+    activation side of the product).
+    """
+    refs = list(rest)
+    out_ref = refs.pop()
+    xs_ref = refs.pop(0) if has_xs else None
+    qs_ref = refs.pop(0)
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tks, tn = qs_ref.shape  # storage rows (bytes when packed4)
+    tk = 2 * tks if packed4 else tks  # real K rows in this tile
+    ck = tk // inner
+    ngc = ck // group  # quant groups per inner chunk
+    tkg = tk // group
+    cd = cd or jnp.float32
+    dd = dd or jnp.bfloat16
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    # stored grid values are w4 = nib - 8 when packed (true q = nib - zp),
+    # so B = (8 - zp)*s + m; unpacked grids store q directly, B = m.
+    b = None
+    if packed4 and zp != 8:
+        b = cd(8 - zp) * s
+    if m is not None:
+        b = m if b is None else b + m
+    acc = None
+    if b is not None:
+        acc = jnp.dot(
+            xs_ref[...],
+            _pad_rows(b.astype(jnp.float32), xs_ref.shape[1]),
+            preferred_element_type=jnp.float32,
+        )
+    for i in range(inner):
+        gs = slice(i * ngc, (i + 1) * ngc)
+        if packed4:
+            w4 = pltpu.bitcast(
+                qs_ref[i * (ck // 2) : (i + 1) * (ck // 2), :], jnp.int4
+            )
+        else:
+            w4 = qs_ref[i * ck : (i + 1) * ck, :]
+        wg = w4.reshape(ngc, group, tn).astype(dd)
+        parts = jax.lax.dot_general(
+            xg_ref[gs, :, :].astype(dd), wg,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(dd),
+        )  # (ngc, mp, tn) f32: raw grid dots, scales NOT yet applied
+        d = (parts * s[gs][:, None, :].astype(jnp.float32)).sum(0)
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 def _qmm_rb_kernel(
     x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
     has_mins=False, sfactor=0,
@@ -1092,6 +1174,8 @@ def _tile_candidates(
             (512, 1024, 4, "si"),
             (1024, 1024, 8, "si"),
             (2048, 1024, 8, "si"),
+            (512, 1024, 4, "g"),
+            (1024, 1024, 8, "g"),
         )
     elif packed:
         caps = (
@@ -1109,15 +1193,17 @@ def _tile_candidates(
             (4096, 1024, 4, "s"),
             (2048, 1024, 2, "b"),
             (4096, 1024, 4, "sb"),
+            (1024, 1024, 4, "g"),
+            (2048, 1024, 8, "g"),
         )
     if mp > 32:
         # prefill-size m: the dot is FLOPs-relevant, so only bf16-MXU-dot
         # kernel modes can compete (f32 MXU is ~8x slower); the adjk 'i'
-        # family is bf16-dot already. Larger x blocks also shrink the
-        # VMEM budget for dequant buffers, so cap tk.
+        # family is bf16-dot already, as is the grouped-dot 'g'. Larger x
+        # blocks also shrink the VMEM budget for dequant buffers, so cap tk.
         caps = tuple(
             c for c in caps
-            if c[3].endswith("b") or c[3] in ("i", "si")
+            if c[3].endswith("b") or c[3] in ("i", "si", "g")
         ) or caps[-1:]
         caps = tuple((min(tk, 2048 if mp <= 256 else 1024), tn, i, m)
                      for tk, tn, i, m in caps)
@@ -1237,8 +1323,10 @@ def _qmm_pallas_tiled(
     dd = jnp.bfloat16 if mode.endswith("b") else None
     mode = mode[:-1] if mode.endswith("b") else mode
     adjk = qt.packed and qt.pack_layout == "adjk"
+    # "g" kernel bias term: packed grids re-bias (8 - zp) unless zp == 8
+    g_bias = mode == "g" and ((qt.packed and qt.zp != 8) or has_mins)
 
-    if mode in ("s", "si"):
+    if mode in ("s", "si") or g_bias:
         # sum-fold kernels: per-group activation sums ride along so the
         # affine bias applies through a small MXU dot (see the kernels).
         # Each K-tile's group sums (tk/g of them, as few as 16) are padded
@@ -1255,7 +1343,50 @@ def _qmm_pallas_tiled(
                 ((0, 0), (0, 0), (0, pw - tkg)),
             ).reshape(mp, -1)
 
-    if adjk:
+    if mode == "g":
+        # grouped-dot kernel: activations pre-arranged (ng, mp, G); raw
+        # grid dots batched over groups, scales applied to partial sums
+        if qt.packed and not adjk:
+            raise ValueError("g mode needs the adjk packed layout")
+        rtk = 2 * tk if adjk else tk  # real K rows per tile
+        while inner > 1 and (rtk // inner) % g:
+            inner -= 1
+        kreal = x.shape[1]
+        xg = (
+            x.reshape(mp, kreal // g, g)
+            .transpose(1, 0, 2)
+            .astype(jnp.bfloat16)
+        )
+        tkg = rtk // g
+        kernel = functools.partial(
+            _qmm_g_kernel, group=g, zp=qt.zp, inner=inner, packed4=adjk,
+            cd=cd, dd=dd, has_mins=has_mins, sfactor=sf, has_xs=g_bias,
+        )
+        in_specs = [pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0))]
+        args = [xg]
+        if g_bias:
+            in_specs.append(pl.BlockSpec((mp, pw), lambda i, j: (0, j)))
+            args.append(xs)
+        gspec = pl.BlockSpec((tkg, tn), lambda i, j: (j, i))
+        in_specs += [
+            pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs (storage rows)
+            gspec,  # scales
+        ]
+        args += [qt.qs, qt.scales]
+        if has_mins:
+            in_specs.append(gspec)
+            args.append(qt.mins)
+        if sf:
+            fspec = pl.BlockSpec(
+                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+            )
+            in_specs.append(fspec)
+            args.append(qt.sd)
+            if has_mins:
+                in_specs.append(fspec)
+                args.append(qt.sm)
+        kp = rows * 2 if adjk else rows
+    elif adjk:
         # int4-bitcast kernels: tk tiles BYTE rows covering 2*tk adjacent
         # real rows; inner chunks must cover whole groups
         while inner > 1 and (2 * tk // inner) % g:

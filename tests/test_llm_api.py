@@ -313,3 +313,79 @@ def test_export_graph(tmp_path):
     text = llm._engine.export_graph(out)
     assert "stablehlo" in text or "mhlo" in text or "func.func" in text
     assert len(open(out).read()) > 1000
+
+
+def test_log_callback_and_verbosity():
+    """llama_log_set analog: one active callback, replace-not-stack,
+    None restores defaults (reference llama.cpp:6284-6315)."""
+    import logging
+
+    from ctransformers_tpu.logger import logger, set_log_callback, set_verbosity
+
+    records = []
+    set_log_callback(lambda lvl, msg: records.append((lvl, msg)))
+    try:
+        set_verbosity("DEBUG")
+        assert not logger.propagate
+        logger.info("hello from the library")
+        assert records and records[-1][0] == "INFO"
+        assert "hello from the library" in records[-1][1]
+
+        # replace, not stack
+        other = []
+        set_log_callback(lambda lvl, msg: other.append(msg))
+        logger.warning("second hook")
+        assert len(records) == 1 and other == ["second hook"]
+
+        # verbosity gates emission
+        set_verbosity(logging.ERROR)
+        logger.info("suppressed")
+        assert other == ["second hook"]
+
+        # a broken hook must never raise into inference code
+        set_log_callback(lambda lvl, msg: 1 / 0)
+        set_verbosity("DEBUG")
+        logger.info("boom")
+    finally:
+        set_log_callback(None)
+        set_verbosity(logging.WARNING)
+    assert logger.propagate
+
+
+def test_progress_callback_gguf(tmp_path):
+    """Loader progress hook (llama_progress_callback, llama.h:139-142):
+    monotone 0..1 fractions ending at exactly 1.0."""
+    from ctransformers_tpu import AutoModelForCausalLM
+    from .fixtures import build_llama_gguf
+
+    path = str(tmp_path / "m.gguf")
+    build_llama_gguf(path)
+    seen = []
+    llm = AutoModelForCausalLM.from_pretrained(
+        path, model_type="llama", progress_callback=seen.append
+    )
+    assert seen, "progress_callback never called"
+    assert seen == sorted(seen)
+    assert seen[-1] == 1.0
+    assert all(0.0 <= f <= 1.0 for f in seen)
+    assert llm("a", max_new_tokens=2, seed=1) is not None
+
+
+def test_progress_callback_fallback(tmp_path):
+    """Loaders without granular progress still report completion."""
+    from ctransformers_tpu import AutoModelForCausalLM
+
+    path = str(tmp_path / "m.bin")
+    build_gpt2(path, seed=3)
+    seen = []
+    AutoModelForCausalLM.from_pretrained(
+        path, model_type="gpt2", progress_callback=seen.append
+    )
+    assert seen == [1.0]
+
+
+def test_system_info(llm):
+    """print_system_info analog reports backend + runtime config facts."""
+    info = llm._engine.system_info()
+    assert "backend" in info and "kv_dtype" in info
+    llm._engine.print_system_info()

@@ -144,7 +144,7 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             )
         )[:m, :n]
         tag = f"{kind} tile ({tk},{tn},{inner},{mode!r})"
-        if "b" in mode or "i" in mode:
+        if "b" in mode or "i" in mode or "g" in mode:
             # b/sb modes round operands to bf16 for the MXU dot (same
             # error class as the XLA bf16 GEMM path). Rounding noise is
             # proportional to the OUTPUT SCALE (sum_i |q_i x_i| * eps over
@@ -438,7 +438,7 @@ def test_qmm_kernel_prefill_m128(kind, layout, monkeypatch):
     cands = qm._tile_candidates(
         qt.qs.shape[0], qt.qs.shape[1], qt.packed, qt.pack_layout, mp=m
     )
-    assert all(md.endswith("b") or md in ("i", "si") for *_, md in cands), (
+    assert all(md.endswith("b") or md in ("i", "si", "g") for *_, md in cands), (
         "m>32 candidates must all use bf16 MXU dots"
     )
     for tk, tn, inner, mode in cands:
