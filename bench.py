@@ -49,20 +49,25 @@ def main():
     kv_dtype = _kv_dtype()
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
     decode_tokens = int(os.environ.get("BENCH_DECODE", "128"))
-    mode = os.environ.get("BENCH_MODE", "single")  # single | batch
-
-    if mode == "batch":
-        return bench_batch(kind, n_ctx)
+    # single | batch | both (default): the north star is per-chip
+    # throughput, so the batched-serving number rides along by default
+    mode = os.environ.get("BENCH_MODE", "both")
 
     spec = LLAMA_7B.replace(n_ctx=n_ctx)
     t0 = time.time()
     params = random_params(spec, seed=0, quantize=kind, exact=False)
     t1 = time.time()
+    if mode == "batch":
+        return bench_batch(kind, n_ctx, spec=spec, params=params)
+
     engine = Engine(spec, params, kv_dtype=kv_dtype)
     t2 = time.time()
+    it = engine.init_timings
     print(
-        f"# build {t1-t0:.1f}s, engine+autotune {t2-t1:.1f}s "
-        f"({jax.devices()[0].device_kind})",
+        f"# build {t1-t0:.1f}s, engine {t2-t1:.1f}s = place+fuse "
+        f"{it['place_fuse_s']}s + autotune {it['autotune_s']}s "
+        f"({it['autotune_raced']} shapes raced, {it['autotune_warm']} "
+        f"tile-cache hits) ({jax.devices()[0].device_kind})",
         file=sys.stderr,
     )
 
@@ -102,6 +107,14 @@ def main():
     dt = time.time() - t0
     tok_s = decode_tokens / dt
 
+    if mode == "both":
+        # batched-serving headline first; the parsed single-stream
+        # headline stays the LAST line
+        try:
+            bench_batch(kind, n_ctx, spec=spec, params=engine.params)
+        except Exception as e:  # pragma: no cover - bench-only guard
+            print(f"# batch bench failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -114,7 +127,8 @@ def main():
     )
 
 
-def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
+def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64,
+                spec=None, params=None):
     """Aggregate serving throughput: `slots` concurrent greedy streams
     through the continuous-batching scheduler (every stream shares each
     weight read, so aggregate decode approaches slots x single-stream)."""
@@ -124,8 +138,10 @@ def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64):
     from ctransformers_tpu.ops import qmatmul as qm
     from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
 
-    spec = LLAMA_7B.replace(n_ctx=n_ctx)
-    params = random_params(spec, seed=0, quantize=kind, exact=False)
+    if spec is None:
+        spec = LLAMA_7B.replace(n_ctx=n_ctx)
+    if params is None:
+        params = random_params(spec, seed=0, quantize=kind, exact=False)
     qm.fuse_layer_params(params)
     qm.autotune(params, batch_sizes=(slots,))
     sched = BatchScheduler(

@@ -17,6 +17,7 @@ TPU-native replacement for the reference's GGML graph executor
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence
 
 import jax
@@ -54,6 +55,7 @@ class Engine:
         self.spec = spec
         self.mesh = mesh
         multiproc = jax.process_count() > 1
+        _t0 = time.perf_counter()
 
         def place(a):
             if isinstance(a, qm.QTensor):
@@ -76,19 +78,29 @@ class Engine:
         # (per-pallas-call overhead dominates single-token decode)
         if isinstance(self.params, dict):
             qm.fuse_layer_params(self.params)
+        _t1 = time.perf_counter()
         if mesh is not None:
             from ..parallel import mesh as pmesh
 
             self.params = pmesh.shard_params(self.params, mesh)
             # race kernel tiles at the LOCAL shard shapes the shard_map'd
             # Pallas path will see (timed single-chip on zero dummies)
-            qm.autotune(
+            tune = qm.autotune(
                 self.params, batch_sizes=(batch_size,),
                 tp=int(mesh.shape.get(pmesh.MODEL_AXIS, 1)),
             )
         else:
             # pick Pallas tile sizes for the decode batch (jit can't time)
-            qm.autotune(self.params, batch_sizes=(batch_size,))
+            tune = qm.autotune(self.params, batch_sizes=(batch_size,))
+        # cold-start split (reference loads+serves in seconds via mmap,
+        # llama.cpp:470-798; here autotune races are the dominant cold
+        # cost and a warm tile cache removes them — keep that visible)
+        self.init_timings = {
+            "place_fuse_s": round(_t1 - _t0, 3),
+            "autotune_s": round((tune or {}).get("seconds", 0.0), 3),
+            "autotune_raced": (tune or {}).get("raced", 0),
+            "autotune_warm": (tune or {}).get("warm", 0),
+        }
         self.batch = batch_size
         self.kv_dtype = kv_dtype
         self.kv = KVCache.create(spec, batch_size, kv_dtype)

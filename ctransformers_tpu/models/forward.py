@@ -326,14 +326,6 @@ def _attention(
         if layer.get("bo") is not None:
             out = out + layer["bo"]
         return out, kv
-    if _use_attn_kernel(t):
-        ctx = _attn_kernel_ctx(
-            spec, q, kv, il, jnp.full((b,), n_past, jnp.int32), window
-        )
-        out = mm(ctx, layer["wo"])
-        if layer.get("bo") is not None:
-            out = out + layer["bo"]
-        return out, kv
     k_cache = kv.k[il]
     v_cache = kv.v[il]
     k_scale = kv.ks[il] if quant else None
@@ -387,49 +379,12 @@ def _attn_chunk() -> int:
     return int(os.environ.get("CT_ATTN_CHUNK", _ATTN_CHUNK))
 
 
-def _use_attn_kernel(t: int) -> bool:
-    """Opt-in Pallas fused decode attention (CT_ATTN_KERNEL=1): one kernel
-    streams the head-major cache contiguously per (batch, head) with
-    online softmax — no HBM score tensor, int8 scales fused. Decode only
-    (t == 1); requires the head-major layout. Off by default pending
-    hardware A/B vs the XLA einsum path."""
-    import os
-
-    return (
-        t == 1
-        and os.environ.get("CT_ATTN_KERNEL", "0") in ("1", "pallas")
-        and kv_head_major()
-    )
-
-
-def _attn_kernel_ctx(spec, q, kv, il, n_past_vec, window):
-    """Run ops.attention.decode_attention on the stacked cache; returns
-    (B, 1, H*dh) f32 context. Falls back to interpret mode off-TPU."""
-    import jax as _jax
-
-    from ..ops.attention import decode_attention
-
-    slopes = None
-    if spec.alibi_bias_max > 0:
-        from ..ops.alibi import alibi_slopes
-
-        slopes = jnp.asarray(alibi_slopes(spec.n_head, spec.alibi_bias_max))
-    interpret = _jax.default_backend() not in ("tpu", "axon")
-    b = q.shape[0]
-    ctx = decode_attention(
-        q[:, 0],
-        kv.k,
-        kv.v,
-        jnp.int32(il),
-        n_past_vec,
-        window=window,
-        k_scale=kv.ks,
-        v_scale=kv.vs,
-        alibi_slopes=slopes,
-        interpret=interpret,
-    )
-    return ctx.reshape(b, 1, spec.n_head * spec.head_dim)
-
+# A Pallas fused decode-attention kernel was built and A/B'd here
+# (CT_ATTN_KERNEL=1): it lost ~2x to the XLA einsum path at every
+# measured (B, S) — 44.8 vs 20.8 us/layer at B=1, 285-334 vs 92-184 at
+# B=8 (docs/AB_attention_r02.txt) — so it was removed from the runtime.
+# The kernel lives on as scripts/_attention_kernel.py for re-probing
+# (scripts/probe_attention.py) if the Mosaic toolchain changes.
 
 ATTN_WINDOW_STEP = 256
 
@@ -714,13 +669,6 @@ def _attention_batched(
     if "attnmath" in ablate:
         ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
         out = mm(ctx, layer["wo"])
-        if layer.get("bo") is not None:
-            out = out + layer["bo"]
-        return out, kv
-
-    if _use_attn_kernel(t):
-        ctx = _attn_kernel_ctx(spec, q, kv, il, n_past, window)
-        out = mm(ctx.reshape(b, t, h * dh), layer["wo"])
         if layer.get("bo") is not None:
             out = out + layer["bo"]
         return out, kv

@@ -1088,6 +1088,88 @@ def _qmm_g_kernel(
     out_ref[:] += acc
 
 
+def _qmm_q_kernel(
+    xg_ref, sx_ref, *rest, group, zp, inner, packed4, int4dot=False,
+    cd=None, has_mins=False, sfactor=0, has_xs=False,
+):
+    """ACTIVATION-QUANTIZED grouped-dot kernel ("q" mode) — the complete
+    TPU analog of the reference's MMVQ decode path (ggml-cuda.cu:3754-3790
+    integer dots + rescale; :1417-1456 on-device activation quant):
+    activations arrive pre-quantized to per-group symmetric int8 (once
+    per step, outside, shared by every projection that consumes the same
+    x), the MXU consumes RAW integer operands — int8 x int8 -> int32
+    dots batched per quant group, int4 weights bitcast straight from the
+    packed bytes — and the f32 scale product sx[g,m] * s[g,n] applies to
+    the int32 PARTIAL SUMS. Per-weight-element VPU work: NONE for int8
+    grids (the stored grid feeds the MXU directly); one bitcast (+ an
+    int4->int8 cast unless int4dot) for packed grids. The affine bias
+    B = (8 - zp)*s + m folds through one small MXU dot against EXACT f32
+    per-group activation sums (computed outside from the real x), so
+    only the multiplicative term carries activation-quant rounding —
+    the same error split as the reference's q8_1 activation blocks.
+    """
+    refs = list(rest)
+    out_ref = refs.pop()
+    xs_ref = refs.pop(0) if has_xs else None
+    qs_ref = refs.pop(0)
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tks, tn = qs_ref.shape  # storage rows (bytes when packed4)
+    tk = 2 * tks if packed4 else tks
+    ck = tk // inner
+    ngc = ck // group  # quant groups per inner chunk
+    tkg = tk // group
+    cd = cd or jnp.float32
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    b = None
+    if packed4 and zp != 8:
+        b = cd(8 - zp) * s
+    if m is not None:
+        b = m if b is None else b + m
+    acc = None
+    if b is not None:
+        acc = jnp.dot(
+            xs_ref[...],
+            _pad_rows(b.astype(jnp.float32), xs_ref.shape[1]),
+            preferred_element_type=jnp.float32,
+        )
+    for i in range(inner):
+        gs = slice(i * ngc, (i + 1) * ngc)
+        if packed4:
+            w4 = pltpu.bitcast(
+                qs_ref[i * (ck // 2) : (i + 1) * (ck // 2), :], jnp.int4
+            )
+            w = w4 if int4dot else w4.astype(jnp.int8)
+        else:
+            w = qs_ref[i * ck : (i + 1) * ck, :]
+        wg = w.reshape(ngc, group, tn)
+        parts = jax.lax.dot_general(
+            xg_ref[gs, :, :], wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
+        ).astype(jnp.float32)  # (ngc, mp, tn) raw integer dots
+        d = (
+            parts
+            * sx_ref[gs, :][:, :, None]
+            * s[gs].astype(jnp.float32)[:, None, :]
+        ).sum(0)
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 def _qmm_rb_kernel(
     x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
     has_mins=False, sfactor=0,
@@ -1175,7 +1257,8 @@ def _tile_candidates(
             (1024, 1024, 8, "si"),
             (2048, 1024, 8, "si"),
             (512, 1024, 4, "g"),
-            (1024, 1024, 8, "g"),
+            (512, 1024, 4, "q"),
+            (1024, 1024, 8, "q"),
         )
     elif packed:
         caps = (
@@ -1193,17 +1276,21 @@ def _tile_candidates(
             (4096, 1024, 4, "s"),
             (2048, 1024, 2, "b"),
             (4096, 1024, 4, "sb"),
-            (1024, 1024, 4, "g"),
             (2048, 1024, 8, "g"),
+            (1024, 1024, 4, "q"),
+            (2048, 1024, 8, "q"),
         )
     if mp > 32:
         # prefill-size m: the dot is FLOPs-relevant, so only bf16-MXU-dot
         # kernel modes can compete (f32 MXU is ~8x slower); the adjk 'i'
-        # family is bf16-dot already, as is the grouped-dot 'g'. Larger x
-        # blocks also shrink the VMEM budget for dequant buffers, so cap tk.
+        # family is bf16-dot already. The grouped-dot 'g'/'q' forms waste
+        # the MXU at large m (contraction = group of 32; measured 2-3x
+        # slower than 'si' at m=128, scripts/probe_g.py) so they stay out.
+        # Larger x blocks also shrink the VMEM budget for dequant
+        # buffers, so cap tk.
         caps = tuple(
             c for c in caps
-            if c[3].endswith("b") or c[3] in ("i", "si", "g")
+            if c[3].endswith("b") or c[3] in ("i", "si")
         ) or caps[-1:]
         caps = tuple((min(tk, 2048 if mp <= 256 else 1024), tn, i, m)
                      for tk, tn, i, m in caps)
@@ -1222,10 +1309,17 @@ def _tile_candidates(
 # (kp, npad, group, has_mins, mp, packed) -> (tk, tn, inner, mode), chosen
 # by timing on first use. v2: entries carry the kernel-variant mode.
 _TILE_CACHE: dict = {}
-_AUTOTUNE = os.environ.get("CT_QMM_AUTOTUNE", "1") != "0"
+# CT_QMM_AUTOTUNE: "1" race candidates on first use (default); "0" no
+# Pallas tuning at all; "precompiled" TRUST the shipped disk cache and
+# fall back to the shape heuristic for unknown keys — never race (cold
+# deployments skip the ~10 s/candidate remote-compile cost entirely).
+_AUTOTUNE_MODE = os.environ.get("CT_QMM_AUTOTUNE", "1")
+_AUTOTUNE = _AUTOTUNE_MODE != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v6.json"),
+    # v7: the 'q' (MMVQ int8-dot) candidates joined the race — cached
+    # champions from earlier candidate sets must not shadow them
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v7.json"),
 )
 
 
@@ -1323,8 +1417,11 @@ def _qmm_pallas_tiled(
     dd = jnp.bfloat16 if mode.endswith("b") else None
     mode = mode[:-1] if mode.endswith("b") else mode
     adjk = qt.packed and qt.pack_layout == "adjk"
-    # "g" kernel bias term: packed grids re-bias (8 - zp) unless zp == 8
-    g_bias = mode == "g" and ((qt.packed and qt.zp != 8) or has_mins)
+    # grouped-dot kernel bias term: packed grids re-bias (8 - zp) unless
+    # zp == 8; applies to both the bf16 "g" and int8 "q"/"q4" variants
+    g_bias = mode in ("g", "q", "q4") and (
+        (qt.packed and qt.zp != 8) or has_mins
+    )
 
     if mode in ("s", "si") or g_bias:
         # sum-fold kernels: per-group activation sums ride along so the
@@ -1343,27 +1440,56 @@ def _qmm_pallas_tiled(
                 ((0, 0), (0, 0), (0, pw - tkg)),
             ).reshape(mp, -1)
 
-    if mode == "g":
-        # grouped-dot kernel: activations pre-arranged (ng, mp, G); raw
-        # grid dots batched over groups, scales applied to partial sums
+    if mode in ("g", "q", "q4"):
+        # grouped-dot kernels: activations pre-arranged (ng, mp, G); raw
+        # grid dots batched over groups, scales applied to partial sums.
+        # "g" feeds the MXU bf16 grids; "q"/"q4" quantize the activations
+        # to per-group int8 here (once per call, XLA-fused into the
+        # surrounding step) and feed raw INTEGER operands.
         if qt.packed and not adjk:
-            raise ValueError("g mode needs the adjk packed layout")
+            raise ValueError(f"{mode} mode needs the adjk packed layout")
+        if mode == "q4" and not adjk:
+            raise ValueError("q4 mode needs a packed-4-bit weight")
         rtk = 2 * tk if adjk else tk  # real K rows per tile
         while inner > 1 and (rtk // inner) % g:
             inner -= 1
         kreal = x.shape[1]
-        xg = (
-            x.reshape(mp, kreal // g, g)
-            .transpose(1, 0, 2)
-            .astype(jnp.bfloat16)
-        )
         tkg = rtk // g
-        kernel = functools.partial(
-            _qmm_g_kernel, group=g, zp=qt.zp, inner=inner, packed4=adjk,
-            cd=cd, dd=dd, has_mins=has_mins, sfactor=sf, has_xs=g_bias,
-        )
-        in_specs = [pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0))]
-        args = [xg]
+        if mode == "g":
+            xg = (
+                x.reshape(mp, kreal // g, g)
+                .transpose(1, 0, 2)
+                .astype(jnp.bfloat16)
+            )
+            kernel = functools.partial(
+                _qmm_g_kernel, group=g, zp=qt.zp, inner=inner, packed4=adjk,
+                cd=cd, dd=dd, has_mins=has_mins, sfactor=sf, has_xs=g_bias,
+            )
+            in_specs = [pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0))]
+            args = [xg]
+        else:
+            # per-group symmetric int8 activation quant (the reference's
+            # q8_1 analog, ggml-cuda.cu:1417-1456): sx = absmax/127 per
+            # (token, group); padding rows/columns are zero -> xq = 0
+            xr = x.reshape(mp, kreal // g, g)
+            sxq = jnp.max(jnp.abs(xr), axis=-1) / 127.0  # (mp, ng) f32
+            xq = jnp.clip(
+                jnp.round(xr / jnp.maximum(sxq, 1e-20)[:, :, None]),
+                -127, 127,
+            ).astype(jnp.int8)
+            kernel = functools.partial(
+                _qmm_q_kernel, group=g, zp=qt.zp, inner=inner, packed4=adjk,
+                int4dot=(mode == "q4"), cd=cd, has_mins=has_mins,
+                sfactor=sf, has_xs=g_bias,
+            )
+            in_specs = [
+                pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((tkg, mp), lambda i, j: (j, 0)),
+            ]
+            args = [
+                xq.transpose(1, 0, 2),
+                sxq.T.astype(jnp.float32),
+            ]
         if g_bias:
             in_specs.append(pl.BlockSpec((mp, pw), lambda i, j: (0, j)))
             args.append(xs)
@@ -1528,6 +1654,11 @@ def _pick_tiles(x, qt: QTensor):
     if not _AUTOTUNE or len(cands) == 1 or jax.default_backend() == "cpu":
         _TILE_CACHE[key] = cands[-1]
         return cands[-1]
+    if _AUTOTUNE_MODE == "precompiled":
+        # trust-the-shipped-cache mode: unknown shapes take the heuristic
+        # pick without racing (kept in-memory only so a later tuned run
+        # still races and records the real champion)
+        return _TILE_CACHE.setdefault(key, cands[-1])
     import time
 
     from ..logger import logger
@@ -1738,9 +1869,17 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
     `tp`: tensor-parallel degree — TP-partitioned QTensors (pspec set)
     are raced at their LOCAL shard shapes (what the shard_map'd kernel
     sees), timed on one chip with zero-filled dummies.
+
+    Returns {"raced": n, "warm": n, "seconds": dt} so callers can report
+    cold-start cost honestly (races cost ~10 s/candidate through the
+    remote-compile tunnel; disk-cache hits cost nothing).
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    stats = {"raced": 0, "warm": 0, "seconds": 0.0}
     if not _use_pallas() or not _AUTOTUNE:
-        return
+        return stats
     seen = set()
     leaves = jax.tree_util.tree_leaves(
         tree, is_leaf=lambda a: isinstance(a, QTensor)
@@ -1760,11 +1899,15 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
                 qt.sfactor, qt.pack_layout,
             )
             if key in seen or key in _TILE_CACHE:
+                stats["warm"] += key not in seen
                 continue
             seen.add(key)
             kr = kp * 2 if qt.packed else kp
             x = jnp.zeros((mp, kr), jnp.float32)
             _pick_tiles(x, qt)
+            stats["raced"] += 1
+    stats["seconds"] = _time.perf_counter() - t0
+    return stats
 
 
 def _local_dummy(qt: QTensor, tp: int) -> Optional[QTensor]:

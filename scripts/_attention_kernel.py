@@ -19,16 +19,16 @@ Modes:
 Decode-only (T=1, per-slot n_past). Prefill keeps the XLA chunked path
 (compute-bound, MXU-saturating there).
 
-STATUS (hardware A/B, healthy v5e 2026-08-19, docs/AB_attention_r02.txt):
-the kernel LOSES to XLA's einsum over the sequence-major cache at every
-measured config — 44.8 vs 19.4 us/layer at B=1 and 333.9 vs 117.5 at B=8
-(llama-7B shapes, S=1024); its int8 mode (35.6/285.4) also trails XLA's
+STATUS — REMOVED FROM THE RUNTIME (round 3). Hardware A/B on a healthy
+v5e (2026-08-19, docs/AB_attention_r02.txt) had the kernel LOSING to
+XLA's einsum over the sequence-major cache at every measured config —
+44.8 vs 19.4 us/layer at B=1 and 333.9 vs 117.5 at B=8 (llama-7B
+shapes, S=1024); its int8 mode (35.6/285.4) also trailed XLA's
 factored-scale int8 path (22.8/92.4). XLA schedules these
-bandwidth-bound reads better than this hand-rolled loop, so the kernel
-stays OFF by default (CT_ATTN_KERNEL=1 + CT_KV_LAYOUT=hm to A/B) and is
-kept as the comparison baseline and Pallas reference for future kernel
-work (e.g. fusing the qkv projection or rope into the attention loop,
-which XLA cannot do across the cache update).
+bandwidth-bound reads better than this hand-rolled loop. The module now
+lives under scripts/ purely as the probe baseline
+(scripts/probe_attention.py) so the decision can be re-checked when the
+Mosaic toolchain changes; models/forward.py no longer imports it.
 """
 
 from __future__ import annotations

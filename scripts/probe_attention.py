@@ -24,7 +24,7 @@ sys.path.insert(0, "/root/repo/scripts")
 from _timing import marginal  # noqa: E402
 
 from ctransformers_tpu.models.forward import kv_quantize  # noqa: E402
-from ctransformers_tpu.ops.attention import decode_attention  # noqa: E402
+from _attention_kernel import decode_attention  # noqa: E402
 
 L, HKV, DH, S = 4, 32, 128, 1024  # 4 layers keeps HBM use modest
 H = HKV

@@ -144,7 +144,7 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             )
         )[:m, :n]
         tag = f"{kind} tile ({tk},{tn},{inner},{mode!r})"
-        if "b" in mode or "i" in mode or "g" in mode:
+        if "b" in mode or "i" in mode or "g" in mode or "q" in mode:
             # b/sb modes round operands to bf16 for the MXU dot (same
             # error class as the XLA bf16 GEMM path). Rounding noise is
             # proportional to the OUTPUT SCALE (sum_i |q_i x_i| * eps over
@@ -159,10 +159,13 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             fro = np.linalg.norm(got - ref) / np.linalg.norm(ref)
             # 2.5%: Q2_K with the qkx2 encoder lands at 2.1% on this seed
             # (bf16 rounding over near-cancelling 2-bit outputs); a wrong
-            # bias fold still reads 10-100%
-            assert fro < 0.025, f"{tag}: frobenius rel err {fro:.4f}"
+            # bias fold still reads 10-100%. "q" modes additionally round
+            # the ACTIVATIONS to per-group int8 (the MMVQ q8_1 analog),
+            # stacking to 2.7% on Q2_K — same structural-bug headroom.
+            bound = 0.035 if "q" in mode else 0.025
+            assert fro < bound, f"{tag}: frobenius rel err {fro:.4f}"
             amax = np.abs(got - ref).max()
-            assert amax < 0.03 * scale, (
+            assert amax < 0.03 * scale or amax < 1.4 * bound * scale, (
                 f"{tag}: max abs err {amax:.4f} vs scale {scale:.4f}"
             )
         else:
