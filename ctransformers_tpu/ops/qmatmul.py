@@ -1317,9 +1317,10 @@ _AUTOTUNE_MODE = os.environ.get("CT_QMM_AUTOTUNE", "1")
 _AUTOTUNE = _AUTOTUNE_MODE != "0"
 _TILE_CACHE_PATH = os.environ.get(
     "CT_QMM_TILE_CACHE",
-    # v7: the 'q' (MMVQ int8-dot) candidates joined the race — cached
-    # champions from earlier candidate sets must not shadow them
-    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v7.json"),
+    # v8: cache keys switched from the sublane-padded mp to the REAL m
+    # (grouped-dot kernels compile per real m; their ranking shifts with
+    # it), so v7 champions keyed on mp must not shadow the re-race
+    os.path.expanduser("~/.cache/ctransformers_tpu/qmm_tiles_v8.json"),
 )
 
 
@@ -1371,6 +1372,7 @@ _load_disk_cache()
 def _qmm_pallas_tiled(
     x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False,
     cd=None, mode: str = "",
+    rm: Optional[int] = None,
 ):
     """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
     4-bit tensors, where each covers two real K rows); `inner` sub-chunks
@@ -1378,8 +1380,13 @@ def _qmm_pallas_tiled(
     the compute dtype: bf16 by default on hardware (halves VPU element
     work; int8 grids are exact in bf16), f32 under interpret (bit-parity
     with the reference path for tests). `mode` "r" selects the
-    reshape-broadcast dequant kernels (see _tile_candidates)."""
+    reshape-broadcast dequant kernels (see _tile_candidates). `rm` is the
+    REAL (pre-padding) m: the grouped-dot kernels' rescale epilogue is
+    per-m VPU work, so they run at rm rows — at B=1 decode that is 8x
+    less partial-sum cast/multiply than the sublane-padded mp (the dense
+    dequant kernels' epilogues are per-weight-element; they keep mp)."""
     mp = x.shape[0]
+    mo = mp  # kernel output rows (grouped modes shrink it to the real m)
     rows, npad = qt.qs.shape
     nk, nn = rows // tk, npad // tn
     g = qt.group
@@ -1455,9 +1462,13 @@ def _qmm_pallas_tiled(
             inner -= 1
         kreal = x.shape[1]
         tkg = rtk // g
+        # rescale VPU work is per (group, m, n): run at the real m
+        mq = rm if rm and 0 < rm < mp else mp
+        mo = mq  # kernel output rows
+        xm_ = x[:mq]
         if mode == "g":
             xg = (
-                x.reshape(mp, kreal // g, g)
+                xm_.reshape(mq, kreal // g, g)
                 .transpose(1, 0, 2)
                 .astype(jnp.bfloat16)
             )
@@ -1465,14 +1476,14 @@ def _qmm_pallas_tiled(
                 _qmm_g_kernel, group=g, zp=qt.zp, inner=inner, packed4=adjk,
                 cd=cd, dd=dd, has_mins=has_mins, sfactor=sf, has_xs=g_bias,
             )
-            in_specs = [pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0))]
+            in_specs = [pl.BlockSpec((tkg, mq, g), lambda i, j: (j, 0, 0))]
             args = [xg]
         else:
             # per-group symmetric int8 activation quant (the reference's
             # q8_1 analog, ggml-cuda.cu:1417-1456): sx = absmax/127 per
             # (token, group); padding rows/columns are zero -> xq = 0
-            xr = x.reshape(mp, kreal // g, g)
-            sxq = jnp.max(jnp.abs(xr), axis=-1) / 127.0  # (mp, ng) f32
+            xr = xm_.reshape(mq, kreal // g, g)
+            sxq = jnp.max(jnp.abs(xr), axis=-1) / 127.0  # (mq, ng) f32
             xq = jnp.clip(
                 jnp.round(xr / jnp.maximum(sxq, 1e-20)[:, :, None]),
                 -127, 127,
@@ -1483,16 +1494,16 @@ def _qmm_pallas_tiled(
                 sfactor=sf, has_xs=g_bias,
             )
             in_specs = [
-                pl.BlockSpec((tkg, mp, g), lambda i, j: (j, 0, 0)),
-                pl.BlockSpec((tkg, mp), lambda i, j: (j, 0)),
+                pl.BlockSpec((tkg, mq, g), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((tkg, mq), lambda i, j: (j, 0)),
             ]
             args = [
                 xq.transpose(1, 0, 2),
                 sxq.T.astype(jnp.float32),
             ]
         if g_bias:
-            in_specs.append(pl.BlockSpec((mp, pw), lambda i, j: (0, j)))
-            args.append(xs)
+            in_specs.append(pl.BlockSpec((mq, pw), lambda i, j: (0, j)))
+            args.append(xs[:mq])
         gspec = pl.BlockSpec((tkg, tn), lambda i, j: (j, i))
         in_specs += [
             pl.BlockSpec((tk, tn), lambda i, j: (j, i)),  # qs (storage rows)
@@ -1626,22 +1637,26 @@ def _qmm_pallas_tiled(
         kernel,
         grid=(nn, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((mp, tn), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((mp, npad), jnp.float32),
+        out_specs=pl.BlockSpec((mo, tn), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((mo, npad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * kp * npad,
-            bytes_accessed=rows * npad + kp // g * npad * 4 + mp * kp * 4,
+            flops=2 * mo * kp * npad,
+            bytes_accessed=rows * npad + kp // g * npad * 4 + mo * kp * 4,
             transcendentals=0,
         ),
     )(*args)
 
 
 def _pick_tiles(x, qt: QTensor):
-    mp = _round_up(x.shape[0], _SUBLANE)
+    m_real = x.shape[0]
+    mp = _round_up(m_real, _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
+    # keyed on the REAL m (not the sublane-padded mp): the grouped-dot
+    # kernels compile per rm, and their ranking vs the dense-dequant
+    # modes shifts with it (rm=1 pays 1/8 the rescale VPU work of rm=8)
     key = (
-        kp, npad, qt.group, qt.mins is not None, mp, qt.packed,
+        kp, npad, qt.group, qt.mins is not None, m_real, qt.packed,
         qt.sfactor, qt.pack_layout,
     )
     if key in _TILE_CACHE:
@@ -1728,7 +1743,8 @@ def _pick_tiles(x, qt: QTensor):
                 (tk, tn, inner, mode),
                 _loop(
                     lambda xx, qq, _tk=tk, _tn=tn, _i=inner, _m=mode:
-                    _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m),
+                    _qmm_pallas_tiled(xx, qq, _tk, _tn, _i, mode=_m,
+                                      rm=m_real),
                     x_pal,
                 ),
             ))
@@ -1855,7 +1871,9 @@ def _qmm_pallas(
                 rows, npad, qt.packed, qt.pack_layout, mp=mp
             )[0]
         tk, tn, inner, mode = choice
-    out = _qmm_pallas_tiled(x, qt, tk, tn, inner, interpret=interpret, mode=mode)
+    out = _qmm_pallas_tiled(
+        x, qt, tk, tn, inner, interpret=interpret, mode=mode, rm=m
+    )
     return out[:m, :n]
 
 
@@ -1892,10 +1910,9 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
             if qt is None:
                 continue
         for m in batch_sizes:
-            mp = _round_up(m, _SUBLANE)
             kp, npad = qt.qs.shape
             key = (
-                kp, npad, qt.group, qt.mins is not None, mp, qt.packed,
+                kp, npad, qt.group, qt.mins is not None, m, qt.packed,
                 qt.sfactor, qt.pack_layout,
             )
             if key in seen or key in _TILE_CACHE:
@@ -1903,7 +1920,7 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
                 continue
             seen.add(key)
             kr = kp * 2 if qt.packed else kp
-            x = jnp.zeros((mp, kr), jnp.float32)
+            x = jnp.zeros((m, kr), jnp.float32)
             _pick_tiles(x, qt)
             stats["raced"] += 1
     stats["seconds"] = _time.perf_counter() - t0

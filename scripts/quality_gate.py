@@ -190,28 +190,82 @@ def export_f16(params, path: str) -> None:
     write_gguf(path, kv, tensors)
 
 
+def _window_logits(llm, held_tokens, n_windows: int):
+    """Full-vocab logits over fixed held-out windows (for the KL metric)."""
+    engine = llm._engine
+    outs = []
+    for w in range(n_windows):
+        chunk = held_tokens[w * N_CTX : (w + 1) * N_CTX]
+        if len(chunk) < 2:
+            break
+        engine.reset()
+        outs.append(engine.eval_all(chunk, n_past=0).astype(np.float64))
+    engine.reset()
+    return outs
+
+
+def _mean_kl(ref_windows, windows) -> float:
+    """Mean per-position KL(P_f16 || P_quant) in nats over all windows.
+
+    Full-distribution divergence has the statistical power a ppl delta on
+    a ~100k-token corpus lacks: dppl needs the quantized model to change
+    which token it assigns mass to AT the sampled targets, while KL sees
+    every logit perturbation at every position — it is >= 0 by
+    construction (no q3_k/q6_k sign flips) and grows monotonically with
+    quantization distortion."""
+    tot, n = 0.0, 0
+    for R, Q in zip(ref_windows, windows):
+        lr = R - _logsumexp(R)
+        lq = Q - _logsumexp(Q)
+        p = np.exp(lr)
+        tot += float((p * (lr - lq)).sum())
+        n += R.shape[0]
+    return tot / max(n, 1)
+
+
+def _logsumexp(a: np.ndarray) -> np.ndarray:
+    m = a.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(a - m).sum(axis=-1, keepdims=True))
+
+
+# KL regression bounds per format (nats, calibrated on the r03 run of
+# this gate — each is ~2x the measured value, so a kernel/codec
+# regression that doubles the distortion trips the gate while run-to-run
+# noise does not). The ORDERING checks below are the scale-free part.
+KL_BOUNDS = {
+    "q8_0": 2e-4, "q6_k": 1e-3, "q5_k": 5e-3, "q5_0": 8e-3,
+    "q4_k": 2e-2, "q4_0": 5e-2, "q3_k": 1.2e-1, "q2_k": 5e-1,
+}
+
+
 def evaluate(f16_path: str, held: np.ndarray, out_path: str) -> dict:
     from ctransformers_tpu import AutoModelForCausalLM
     from ctransformers_tpu.eval.perplexity import perplexity
     from ctransformers_tpu.tools.quantize import quantize_file
 
     held_tokens = [BOS] + [int(t) for t in held]
-    results = {}
+    n_kl_windows = 24
+    results, kls = {}, {}
 
     def ppl_of(path):
         llm = AutoModelForCausalLM.from_pretrained(path)
-        return perplexity(llm, tokens=held_tokens, window=N_CTX)
+        return (
+            perplexity(llm, tokens=held_tokens, window=N_CTX),
+            _window_logits(llm, held_tokens, n_kl_windows),
+        )
 
-    results["f16"] = ppl_of(f16_path)
+    results["f16"], ref_windows = ppl_of(f16_path)
     print(f"f16 ppl: {results['f16']:.4f}")
     base = os.path.splitext(f16_path)[0]
     for kind in ("q8_0", "q6_k", "q5_k", "q4_k", "q5_0", "q4_0", "q3_k",
                  "q2_k"):
         qpath = f"{base}.{kind}.gguf"
         quantize_file(f16_path, qpath, kind)
-        results[kind] = ppl_of(qpath)
+        results[kind], qwin = ppl_of(qpath)
+        kls[kind] = _mean_kl(ref_windows, qwin)
         print(f"{kind} ppl: {results[kind]:.4f} "
-              f"(dppl {results[kind]-results['f16']:+.4f})")
+              f"(dppl {results[kind]-results['f16']:+.4f}, "
+              f"KL {kls[kind]:.5f} nats)")
 
     report = {
         "note": (
@@ -232,14 +286,29 @@ def evaluate(f16_path: str, held: np.ndarray, out_path: str) -> dict:
             k: round(100 * (v - results["f16"]) / results["f16"], 3)
             for k, v in results.items() if k != "f16"
         },
+        "kl_vs_f16_nats": {k: round(v, 6) for k, v in kls.items()},
+        "kl_windows": n_kl_windows * N_CTX,
         # BASELINE's 'dppl <= 0.1' is calibrated to Llama-2-7B WikiText-2
         # ppl (~5.8), i.e. <= ~1.7% relative. The same RELATIVE bound is
         # the transferable gate at this corpus's ppl scale. (For context,
         # llama.cpp's published 7B table sits at ~0.9% for Q4_K.)
-        "gate": "relative dppl <= 1.7% for >=4.5-bpw formats (q4_k and up)",
+        "gate": (
+            "relative dppl <= 1.7% for >=4.5-bpw formats (q4_k and up); "
+            "ALL formats: KL(f16||q) within KL_BOUNDS and ordered by "
+            "bit-width within each codec family"
+        ),
         "gate_pass": all(
             (results[k] - results["f16"]) / results["f16"] <= 0.017
             for k in ("q8_0", "q6_k", "q5_k", "q4_k")
+        ) and all(kls[k] <= b for k, b in KL_BOUNDS.items())
+        # scale-free ordering: more bits => less distortion, within a
+        # family (25% slack absorbs codec-shape noise between neighbors)
+        and all(
+            kls[a] <= kls[b] * 1.25
+            for a, b in (
+                ("q6_k", "q5_k"), ("q5_k", "q4_k"), ("q4_k", "q3_k"),
+                ("q3_k", "q2_k"), ("q8_0", "q5_0"), ("q5_0", "q4_0"),
+            )
         ),
         "backend": jax.devices()[0].device_kind,
     }
@@ -287,10 +356,36 @@ def greedy(llm, toks, n):
             break
     return o
 """
+    base = os.path.splitext(f16_path)[0]
+    # trained-model files: f16 plus every format the reference's
+    # determinism test style can lock down (evaluate() wrote these)
+    cases = [
+        (f16_path, "gguf", toks, prompt),
+        *(
+            (f"{base}.{k}.gguf", "gguf", toks, prompt)
+            for k in ("q4_k", "q3_k", "q2_k", "q5_0")
+        ),
+    ]
+    # legacy-container files (tiny fixture models, random weights): the
+    # parity target is the LOADER + engine semantics, not learned text
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import fixtures
+
+    workdir = os.path.dirname(f16_path)
+    ggjt = os.path.join(workdir, "parity_ggjt.bin")
+    fixtures.build_llama_ggjt(ggjt, wtype=fixtures.GGMLType.Q4_0, seed=3)
+    cases.append((ggjt, "llama", [1, 5, 9, 12, 7], None))
+    ggcc = os.path.join(workdir, "parity_falcon.ggcc")
+    fixtures.build_falcon_ggcc(ggcc, wtype=fixtures.GGMLType.Q4_0, seed=4)
+    cases.append((ggcc, "falcon", [1, 5, 9, 12, 7], None))
+
     out = {}
-    q4k_path = os.path.splitext(f16_path)[0] + ".q4_k.gguf"
-    for path in (f16_path, q4k_path):
+    for path, mtype, ptoks, check_prompt in cases:
         tag = os.path.basename(path)
+        tok_check = (
+            f"assert mine.tokenize({check_prompt!r}) == toks"
+            if check_prompt else ""
+        )
         mine_code = f"""
 import sys, os
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -298,9 +393,9 @@ sys.path.insert(0, {REPO!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
 from ctransformers_tpu import AutoModelForCausalLM
-mine = AutoModelForCausalLM.from_pretrained({path!r})
-toks = {toks!r}
-assert mine.tokenize({prompt!r}) == toks
+mine = AutoModelForCausalLM.from_pretrained({path!r}, model_type={mtype!r})
+toks = {ptoks!r}
+{tok_check}
 {greedy_src}
 print("RESULT:", greedy(mine, toks, 32), flush=True)
 """
@@ -308,9 +403,9 @@ print("RESULT:", greedy(mine, toks, 32), flush=True)
 import sys, os
 sys.path.insert(0, "/root/reference")
 from ctransformers import LLM as RefLLM
-ref = RefLLM({path!r}, model_type="gguf",
+ref = RefLLM({path!r}, model_type={mtype!r},
              lib="/root/reference/ctransformers/lib/basic/libctransformers.so")
-toks = {toks!r}
+toks = {ptoks!r}
 {greedy_src}
 print("RESULT:", greedy(ref, toks, 32), flush=True)
 os._exit(0)
@@ -330,7 +425,7 @@ os._exit(0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--out", default=os.path.join(REPO, "PPL_r02.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "PPL_r03.json"))
     ap.add_argument("--workdir", default="/tmp/ct_quality")
     args = ap.parse_args()
 

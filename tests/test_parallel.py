@@ -186,3 +186,34 @@ def test_pod_mesh_sharded_forward_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(tp), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("wtype_name", ["F16", "Q8_0"])
+def test_real_gguf_file_engine_on_mesh(tmp_path, wtype_name):
+    """The loader -> repack -> shard_params -> decode seam on a REAL GGUF
+    file: tensors come in at file shapes (lane-padded N, odd n_ff), get
+    repacked to QTensors/dense planes, sharded over an 8-way TP mesh, and
+    must decode token-exactly like the single-device engine."""
+    from .fixtures import build_llama_gguf
+    from ctransformers_tpu.engine.engine import Engine
+    from ctransformers_tpu.formats.quants import GGMLType
+    from ctransformers_tpu.models.registry import load_model
+
+    path = str(tmp_path / "tiny.gguf")
+    # n_ff=96: npad -> 128, logical 96 indivisible by tp=8 on purpose
+    build_llama_gguf(
+        path, n_embd=64, n_head=4, n_head_kv=2, n_ff=96,
+        wtype=getattr(GGMLType, wtype_name), seed=11,
+    )
+    bundle = load_model(path, "gguf")
+
+    ref = Engine(bundle.spec, bundle.params)
+    ref.eval([1, 5, 9])
+    ref_logits = np.array(ref.logits)
+    ref_toks = ref.decode(5, temperature=0.0, repetition_penalty=1.0)
+
+    mesh = pmesh.make_mesh(8, data=1)
+    eng = Engine(bundle.spec, bundle.params, mesh=mesh)
+    eng.eval([1, 5, 9])
+    np.testing.assert_allclose(eng.logits, ref_logits, atol=2e-4, rtol=2e-4)
+    assert eng.decode(5, temperature=0.0, repetition_penalty=1.0) == ref_toks

@@ -168,6 +168,17 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             assert amax < 0.03 * scale or amax < 1.4 * bound * scale, (
                 f"{tag}: max abs err {amax:.4f} vs scale {scale:.4f}"
             )
+            if mode in ("g", "q", "q4"):
+                # real-m sliced epilogue: same numbers, (rm, n) output
+                out = qm._qmm_pallas_tiled(
+                    jnp.asarray(xp), qt, tk, tn, inner, interpret=True,
+                    mode=mode, rm=m,
+                )
+                assert out.shape[0] == m, f"{tag}: rm output rows"
+                np.testing.assert_allclose(
+                    np.asarray(out)[:, :n], got, rtol=0, atol=1e-5,
+                    err_msg=f"{tag}: rm={m} slice changed the result",
+                )
         else:
             np.testing.assert_allclose(
                 got, ref, atol=2e-4, rtol=2e-4, err_msg=tag,
