@@ -108,6 +108,35 @@ class _Tensor:
         return tuple(reversed(self.ne))
 
 
+def _sidecar_merges(model_dir: str) -> List[str]:
+    """BPE merges from a standard HF tokenizer.json beside the model file.
+
+    Pre-GGCC falcon containers carry no inline merge list; the reference
+    falls back to scanning the model directory's tokenizer.json
+    (libfalcon.cpp:835-868, parse_json_to_bpe_merges at :329-416 — a
+    line-oriented scrape; here a real JSON parse of the same document).
+    Accepts both merge spellings HF has shipped: "A B" strings and
+    [A, B] pairs. Returns [] when the file is missing or has no merges.
+    """
+    import json
+
+    path = os.path.join(model_dir, "tokenizer.json")
+    try:
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return []
+    model = doc.get("model", doc)
+    raw = model.get("merges") or []
+    merges: List[str] = []
+    for entry in raw:
+        if isinstance(entry, str):
+            merges.append(entry)
+        elif isinstance(entry, (list, tuple)) and len(entry) == 2:
+            merges.append(f"{entry[0]} {entry[1]}")
+    return merges
+
+
 class GGCCReader:
     """Parses a (possibly multi-shard) ggllm falcon model file."""
 
@@ -197,11 +226,16 @@ class GGCCReader:
                 b = raw(u32()).decode("utf-8", errors="replace")
                 merges.append(f"{a} {b}")
         elif first:
-            raise ValueError(
-                "GGCC: pre-GGCC falcon files keep BPE merges in a sidecar "
-                "tokenizer.json (libfalcon.cpp:838-858); convert the model "
-                "to GGCC v10 (merges inline) to load it here"
-            )
+            # pre-GGCC fallback (libfalcon.cpp:835-868): merges live in a
+            # standard HF tokenizer.json next to the model file
+            merges = _sidecar_merges(os.path.dirname(os.path.abspath(path)))
+            if not merges:
+                raise ValueError(
+                    "GGCC: pre-GGCC falcon files keep BPE merges in a "
+                    "sidecar tokenizer.json (libfalcon.cpp:838-858); place "
+                    "the model's tokenizer.json next to the file, or "
+                    "convert the model to GGCC v10 (merges inline)"
+                )
         if first:
             # wizard hack: 65025-vocab files shave the trailing [PAD]
             # (libfalcon.cpp:815-822)

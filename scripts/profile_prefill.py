@@ -39,10 +39,11 @@ def main():
     # --- 2. qmm-only at m=128: one of each unique weight, scaled up ---
     layer = eng.params["layers"][0]
     head = eng.params["lm_head"]
-    shapes = {
-        "wq(4096x4096)": (layer["wq"], 4 * 32),  # q,o + k,v (GQA=1 here)
-        "gate(4096x11008)": (layer["w_gate"], 2 * 32),  # gate, up
-        "down(11008x4096)": (layer["w_down"], 1 * 32),
+    shapes = {  # engine fuses qkv and gate|up (fuse_layer_params)
+        "w_qkv(4096x12288)": (layer["w_qkv"], 32),
+        "wo(4096x4096)": (layer["wo"], 32),
+        "w_gateup(4096x22016)": (layer["w_gateup"], 32),
+        "down(11008x4096)": (layer["w_down"], 32),
         "head(4096x32000)": (head, 1),
     }
     qmm_total = 0.0
@@ -60,18 +61,44 @@ def main():
               f"-> {dt*count*1e3:6.2f} ms total", flush=True)
     print(f"qmm-only prefill share: {qmm_total*1e3:.2f} ms", flush=True)
 
-    # --- 1. full chunk program ---
+    # --- 1. full chunk program (custom marginal: tokens are ints, so the
+    # anti-DCE chain rides the KV cache + a logits max-reduction) ---
     tokens = jnp.zeros((1, m), jnp.int32)
     kv = KVCache.create(spec, batch=1)
+    reps = 8
 
-    def step(toks, pp, cache):
-        logits, _, cache2 = forward(spec, pp, toks, jnp.int32(0), cache)
-        return logits
+    def make_loop(nwork):
+        def run(pp, kv0):
+            def body(carry, _):
+                c, cache = carry
+                for _ in range(nwork):
+                    logits, _, cache = forward(
+                        spec, pp, tokens, jnp.int32(0), cache
+                    )
+                    c = jnp.max(logits.astype(jnp.float32)) * 1e-30 + c
+                return (c, cache), ()
 
-    dt_full, t1 = marginal(
-        lambda tt, pp, cc: step(tt, pp, cc), tokens, eng.params, kv,
-        reps=8, trials=2,
-    )
+            (c, _), _ = jax.lax.scan(
+                body, (jnp.float32(0), kv0), None, length=reps
+            )
+            return c
+
+        f = jax.jit(run)
+        np.asarray(f(eng.params, kv))  # compile + warm
+        return lambda: np.asarray(f(eng.params, kv))
+
+    import time as _t
+
+    loops = {n: make_loop(n) for n in (1, 4)}
+    best = {1: float("inf"), 4: float("inf")}
+    for _ in range(2):
+        for n, loop in loops.items():
+            loop()
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                loop()
+                best[n] = min(best[n], (_t.perf_counter() - t0) / reps)
+    dt_full = (best[4] - best[1]) / 3
     print(f"full chunk m={m}: {dt_full*1e3:.2f} ms true "
           f"({m/dt_full:.0f} tok/s; non-qmm {1e3*(dt_full-qmm_total):.2f} "
           f"ms)", flush=True)

@@ -597,12 +597,17 @@ def build_falcon_ggcc(
     norm2: bool = False,
     seed: int = 0,
     shards: int = 1,
+    container: str = "ggcc",
 ) -> dict:
     """Write a tiny falcon in ggllm's GGCC v10 format (optionally split
     into `shards` part files `path`, `path.1`, ... following libfalcon's
     by-columns/by-rows split rules, libfalcon.cpp:645-658). Weights are
     drawn with the SAME rng stream as build_falcon_gguf(seed, n_ff=4*d),
-    so the two files hold identical models for loader cross-checks."""
+    so the two files hold identical models for loader cross-checks.
+
+    container="ggjt": the PRE-GGCC layout — GGJT v3 magic, no inline
+    merge list; BPE merges go to a sidecar tokenizer.json next to `path`
+    (libfalcon.cpp:835-868 fallback)."""
     import struct as _struct
 
     rng = np.random.RandomState(seed)
@@ -643,23 +648,32 @@ def build_falcon_ggcc(
 
     merge_pairs = _BPE_MERGE_PAIRS  # (left, right) unambiguous
 
+    ggjt = container == "ggjt"
+
     def write_file(f, tensor_slices):
-        f.write(_struct.pack("<II", FALCON_GGCC_MAGIC, 10))
-        for v in (n_vocab, n_embd, n_head, n_head_kv, n_layer,
-                  40 if norm2 else 7, 0, len(merge_pairs)):
+        if ggjt:
+            f.write(_struct.pack("<II", 0x67676A74, 3))  # pre-GGCC GGJT v3
+        else:
+            f.write(_struct.pack("<II", FALCON_GGCC_MAGIC, 10))
+        hdr = [n_vocab, n_embd, n_head, n_head_kv, n_layer,
+               40 if norm2 else 7, 0]
+        if not ggjt:
+            hdr.append(len(merge_pairs))
+        for v in hdr:
             f.write(_struct.pack("<I", v))
         for piece, score in zip(pieces, scores):
             b = piece.encode("utf-8")
             f.write(_struct.pack("<I", len(b)))
             f.write(b)
             f.write(_struct.pack("<f", score))
-        f.write(_struct.pack("<I", len(merge_pairs)))
-        for a, b in merge_pairs:
-            ab, bb = a.encode(), b.encode()
-            f.write(_struct.pack("<I", len(ab)))
-            f.write(ab)
-            f.write(_struct.pack("<I", len(bb)))
-            f.write(bb)
+        if not ggjt:
+            f.write(_struct.pack("<I", len(merge_pairs)))
+            for a, b in merge_pairs:
+                ab, bb = a.encode(), b.encode()
+                f.write(_struct.pack("<I", len(ab)))
+                f.write(ab)
+                f.write(_struct.pack("<I", len(bb)))
+                f.write(bb)
         for name, (arr, t) in tensor_slices:
             ne = tuple(reversed(arr.shape))
             nb = name.encode("utf-8")
@@ -693,4 +707,17 @@ def build_falcon_ggcc(
         fname = path if idx == 0 else f"{path}.{idx}"
         with open(fname, "wb") as f:
             write_file(f, shard_slices(idx))
+    if ggjt:
+        import json as _json
+        import os as _os
+
+        sidecar = _os.path.join(_os.path.dirname(path), "tokenizer.json")
+        with open(sidecar, "w") as f:
+            # pretty-printed like real HF tokenizer.json files — the
+            # reference's line-oriented scraper needs '"merges": [' on
+            # its own line (libfalcon.cpp:349)
+            _json.dump(
+                {"model": {"merges": [f"{a} {b}" for a, b in merge_pairs]}},
+                f, indent=2,
+            )
     return dict(n_vocab=n_vocab, n_ctx=n_ctx)

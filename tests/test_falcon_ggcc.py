@@ -8,6 +8,8 @@ tokenizer. build_falcon_ggcc writes the same weights as build_falcon_gguf
 logits; the reference's precompiled engine pins the format itself.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -106,3 +108,57 @@ def test_ggcc_parity_with_reference_engine(tmp_path):
         return out
 
     assert greedy(mine, mt, 8) == greedy(ref, rt, 8)
+
+
+def test_pre_ggcc_sidecar_tokenizer(tmp_path):
+    """Pre-GGCC (GGJT v3) falcon files carry no inline merges: the loader
+    falls back to a tokenizer.json sidecar in the model directory
+    (libfalcon.cpp:835-868). Same weights as the GGCC twin -> identical
+    tokenization and logits."""
+    ggcc = str(tmp_path / "new" / "m.bin")
+    old = str(tmp_path / "old" / "m.bin")
+    os.makedirs(os.path.dirname(ggcc))
+    os.makedirs(os.path.dirname(old))
+    build_falcon_ggcc(ggcc, seed=3)
+    build_falcon_ggcc(old, seed=3, container="ggjt")
+
+    from ctransformers_tpu import LLM
+
+    a = LLM(ggcc, model_type="falcon")
+    b = LLM(old, model_type="falcon")
+    toks = a.tokenize("hello world")
+    assert b.tokenize("hello world") == toks
+    a.eval(toks)
+    b.eval(toks)
+    np.testing.assert_allclose(a.logits, b.logits, atol=1e-5, rtol=1e-5)
+
+    # missing sidecar -> the reference's convert-or-place-json error
+    os.remove(os.path.join(os.path.dirname(old), "tokenizer.json"))
+    with pytest.raises(Exception, match="tokenizer.json"):
+        LLM(str(old), model_type="falcon")
+
+
+def test_pre_ggcc_parity_with_reference_engine(tmp_path):
+    """The reference engine reads the SAME sidecar fallback — greedy
+    parity locks the whole pre-GGCC path end to end."""
+    path = str(tmp_path / "m.bin")
+    build_falcon_ggcc(path, seed=3, container="ggjt")
+    ref = ref_llm(path, "falcon")
+    if ref is None:
+        pytest.skip("reference engine unavailable")
+    from ctransformers_tpu import LLM
+
+    mine = LLM(path, model_type="falcon")
+    mt = mine.tokenize("hello world")
+    assert ref.tokenize("hello world") == mt
+
+    def greedy(llm, toks, n):
+        out, gen = [], llm.generate(list(toks), top_k=1, temperature=0.7,
+                                    seed=1)
+        for t in gen:
+            out.append(int(t))
+            if len(out) >= n:
+                break
+        return out
+
+    assert greedy(mine, mt, 8) == greedy(ref, mt, 8)
