@@ -98,6 +98,24 @@ def main():
         file=sys.stderr,
     )
 
+    # honest on-device prefill rate: the wall TTFT above carries the
+    # dispatch round-trip + host logits copy (~60 ms through the axon
+    # tunnel — absent in production serving), so the compute number
+    # comes from a scan-timed chunk (marginal 1x-vs-4x slope; r03
+    # profile: 20.97 ms true vs 79 ms wall for the same 128 tokens)
+    try:
+        pf_s = _honest_prefill(engine, prompt_len)
+        print(
+            json.dumps({
+                "metric": "llama7b_q4k_prefill_compute",
+                "value": round(prompt_len / pf_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(prompt_len / pf_s / BASELINE_TOK_S, 2),
+            })
+        )
+    except Exception as e:  # pragma: no cover - bench-only guard
+        print(f"# honest prefill failed: {e!r}", file=sys.stderr)
+
     # rewind so the timed run repeats the SAME (n, attention-window)
     # program — without this the second call crosses into the next
     # round_window bucket and the timer measures a recompile
@@ -125,6 +143,54 @@ def main():
             }
         )
     )
+
+
+def _honest_prefill(engine, m: int, reps: int = 8) -> float:
+    """True seconds per m-token prefill chunk: scan-repeated forward with
+    the KV cache carried (serializes iterations), marginal 1x-vs-4x slope
+    so the flat per-dispatch tunnel round-trip cancels."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctransformers_tpu.models.forward import KVCache, forward
+
+    spec = engine.spec
+    tokens = jnp.zeros((engine.batch, m), jnp.int32)
+    kv = KVCache.create(spec, batch=engine.batch, dtype=engine.kv_dtype)
+
+    def make_loop(nwork):
+        def run(pp, kv0):
+            def body(carry, _):
+                c, cache = carry
+                for _ in range(nwork):
+                    logits, _, cache = forward(
+                        spec, pp, tokens, jnp.int32(0), cache
+                    )
+                    c = jnp.max(logits.astype(jnp.float32)) * 1e-30 + c
+                return (c, cache), ()
+
+            (c, _), _ = jax.lax.scan(
+                body, (jnp.float32(0), kv0), None, length=reps
+            )
+            return c
+
+        f = jax.jit(run)
+        np.asarray(f(engine.params, kv))  # compile + warm
+        return lambda: np.asarray(f(engine.params, kv))
+
+    loops = {n: make_loop(n) for n in (1, 4)}
+    best = {1: float("inf"), 4: float("inf")}
+    for _ in range(2):
+        for n, loop in loops.items():
+            loop()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                loop()
+                best[n] = min(best[n], (time.perf_counter() - t0) / reps)
+    return (best[4] - best[1]) / 3
 
 
 def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64,
