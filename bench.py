@@ -125,6 +125,24 @@ def main():
     dt = time.time() - t0
     tok_s = decode_tokens / dt
 
+    # honest on-device decode rate: the wall number above carries one
+    # dispatch round-trip (~25-45 ms through the axon tunnel, drifting
+    # hour-scale — absent in production serving). Marginal slope between
+    # two fused-loop lengths in the SAME attention-window bucket cancels
+    # it: per-token = (t[n2] - t[n1]) / (n2 - n1).
+    try:
+        d_s = _honest_decode(engine, prompt_len)
+        print(
+            json.dumps({
+                "metric": "llama7b_q4k_decode_compute",
+                "value": round(1.0 / d_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(1.0 / d_s / BASELINE_TOK_S, 2),
+            })
+        )
+    except Exception as e:  # pragma: no cover - bench-only guard
+        print(f"# honest decode failed: {e!r}", file=sys.stderr)
+
     if mode == "both":
         # batched-serving headline first; the parsed single-stream
         # headline stays the LAST line
@@ -191,6 +209,24 @@ def _honest_prefill(engine, m: int, reps: int = 8) -> float:
                 loop()
                 best[n] = min(best[n], (time.perf_counter() - t0) / reps)
     return (best[4] - best[1]) / 3
+
+
+def _honest_decode(engine, prompt_len: int, n1: int = 32, n2: int = 128):
+    """True seconds per decoded token: both loop lengths stay inside the
+    round_window bucket covering prompt_len + n2, so the two dispatches
+    run the same per-step program and the flat round-trip cancels."""
+    lens = (n1, n2)
+    for n in lens:  # compile + warm both fused loops
+        engine.rewind(prompt_len)
+        engine.decode(n, temperature=0.0, repetition_penalty=1.0)
+    best = {n: float("inf") for n in lens}
+    for _ in range(3):
+        for n in lens:
+            engine.rewind(prompt_len)
+            t0 = time.perf_counter()
+            engine.decode(n, temperature=0.0, repetition_penalty=1.0)
+            best[n] = min(best[n], time.perf_counter() - t0)
+    return (best[n2] - best[n1]) / (n2 - n1)
 
 
 def bench_batch(kind: str, n_ctx: int, slots: int = 8, n_new: int = 64,

@@ -17,6 +17,7 @@ TPU-native replacement for the reference's GGML graph executor
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import List, Optional, Sequence
 
@@ -71,13 +72,30 @@ class Engine:
                 return jnp.asarray(a, param_dtype)
             return a if mesh is not None and multiproc else jnp.asarray(a)
 
-        self.params = jax.tree.map(
-            place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
-        )
-        # fuse QKV / gate+up projections: one kernel call instead of three
-        # (per-pallas-call overhead dominates single-token decode)
-        if isinstance(self.params, dict):
-            qm.fuse_layer_params(self.params)
+        if mesh is None and os.environ.get("CT_BLOB_PLACE", "1") != "0":
+            # fuse on HOST first (numpy concat), then one H2D blob per
+            # layer: per-array placement pays a dispatch round-trip per
+            # array (~1,200 of them for a 7B; measured 31-129 s where the
+            # blob path moves the same bytes in a handful of transfers,
+            # scripts/profile_load.py)
+            if isinstance(params, dict):
+                # fuse mutates layer dicts; shallow-copy so the caller's
+                # tree keeps its per-projection layout
+                params = dict(params)
+                if isinstance(params.get("layers"), (list, tuple)):
+                    params["layers"] = [dict(l) for l in params["layers"]]
+                qm.fuse_layer_params(params)
+            from .placement import blob_place
+
+            self.params = blob_place(params, param_dtype)
+        else:
+            self.params = jax.tree.map(
+                place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
+            )
+            # fuse QKV / gate+up projections: one kernel call instead of
+            # three (per-pallas-call overhead dominates decode)
+            if isinstance(self.params, dict):
+                qm.fuse_layer_params(self.params)
         _t1 = time.perf_counter()
         if mesh is not None:
             from ..parallel import mesh as pmesh

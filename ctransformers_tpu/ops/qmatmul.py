@@ -2171,16 +2171,20 @@ def concat_qtensors(qts) -> Optional[QTensor]:
         return None
     if any(q.sfactor != head.sfactor for q in qts):
         return None
-    qs = jnp.concatenate([q.qs for q in qts], axis=1)
-    scales = jnp.concatenate([q.scales for q in qts], axis=1)
+    # concatenate with the operands' own array library: host (numpy)
+    # inputs stay on host so load-time fusion happens BEFORE the single
+    # H2D placement pass instead of as 64 on-device concat dispatches
+    xp = np if isinstance(head.qs, np.ndarray) else jnp
+    qs = xp.concatenate([q.qs for q in qts], axis=1)
+    scales = xp.concatenate([q.scales for q in qts], axis=1)
     mins = (
-        jnp.concatenate([q.mins for q in qts], axis=1) if has_mins else None
+        xp.concatenate([q.mins for q in qts], axis=1) if has_mins else None
     )
     sd = sm = None
     if head.sfactor:
-        sd = jnp.concatenate([q.sd for q in qts], axis=1)
+        sd = xp.concatenate([q.sd for q in qts], axis=1)
         if has_mins:
-            sm = jnp.concatenate([q.sm for q in qts], axis=1)
+            sm = xp.concatenate([q.sm for q in qts], axis=1)
     splits = tuple((int(q.qs.shape[1]), int(q.shape[1])) for q in qts)
     total = int(qs.shape[1])
     return QTensor(

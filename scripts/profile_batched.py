@@ -106,7 +106,7 @@ def main():
     from ctransformers_tpu.models.forward import KVCache
 
     spec, params = build()
-    window = 256
+    window = int(os.environ.get("CT_PROF_WINDOW", "256"))
 
     def state():
         import jax
