@@ -55,7 +55,7 @@ def main():
 
     spec = LLAMA_7B.replace(n_ctx=n_ctx)
     t0 = time.time()
-    params = random_params(spec, seed=0, quantize=kind, exact=False)
+    params = _cached_params(spec, kind)
     t1 = time.time()
     if mode == "batch":
         return bench_batch(kind, n_ctx, spec=spec, params=params)
@@ -209,6 +209,31 @@ def _honest_prefill(engine, m: int, reps: int = 8) -> float:
                 loop()
                 best[n] = min(best[n], (time.perf_counter() - t0) / reps)
     return (best[4] - best[1]) / 3
+
+
+def _cached_params(spec, kind: str):
+    """Host-quantizing the synthetic 7B costs ~110s per bench run; cache
+    the pickled tree on disk (bench-only: the tree is deterministic in
+    (seed, kind))."""
+    import pickle
+
+    from ctransformers_tpu.models.synthetic import random_params
+
+    path = f"/tmp/ct_bench_params_{kind}_v1.pkl"
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception as e:
+            print(f"# params cache unreadable ({e!r}); rebuilding",
+                  file=sys.stderr)
+    params = random_params(spec, seed=0, quantize=kind, exact=False)
+    try:
+        with open(path, "wb") as f:
+            pickle.dump(params, f, protocol=5)
+    except Exception as e:  # pragma: no cover - disk-full etc.
+        print(f"# params cache write failed: {e!r}", file=sys.stderr)
+    return params
 
 
 def _honest_decode(engine, prompt_len: int, n1: int = 32, n2: int = 128):

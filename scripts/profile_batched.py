@@ -106,7 +106,9 @@ def main():
     from ctransformers_tpu.models.forward import KVCache
 
     spec, params = build()
-    window = int(os.environ.get("CT_PROF_WINDOW", "256"))
+    windows = [
+        int(w) for w in os.environ.get("CT_PROF_WINDOW", "256").split(",")
+    ]
 
     def state():
         import jax
@@ -119,9 +121,22 @@ def main():
         last = jnp.zeros((SLOTS, 64), jnp.int32)
         return kv, logits, n_past, active, keys, last
 
-    results = {}
     single = SLOTS == 1
-    for label, flag in ABLATIONS:
+    for window in windows:
+        run_ablations(spec, params, window, single, state)
+
+
+def run_ablations(spec, params, window, single, state):
+    import jax  # noqa: F401 (kept hot in the caller)
+
+    print(f"-- window={window}")
+    only = os.environ.get("CT_PROF_ABLATIONS")  # comma list of labels
+    abls = [
+        (l, f) for l, f in ABLATIONS
+        if not only or l in only.split(",")
+    ]
+    results = {}
+    for label, flag in abls:
         skip_sampler = flag == "SAMPLER"
         os.environ["CT_ABLATE"] = "" if skip_sampler else flag
         fns = {
