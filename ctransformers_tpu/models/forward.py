@@ -295,6 +295,9 @@ def _attention(
     # rebuild the cache with jnp.stack (a per-token O(cache) copy)
     quant = kv.ks is not None
     hm = kv_head_major()
+    read_first = t == 1 and not quant and attn_read_first()
+    if read_first:
+        k_old, v_old = kv.k[il], kv.v[il]
     if "kvwrite" not in ablate:
         if hm:  # cache (L, B, Hkv, S, dh): transpose the (B,T,Hkv,dh) slab
             kw, vw = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
@@ -322,6 +325,22 @@ def _attention(
             )
     if "attnmath" in ablate:
         ctx = q.astype(jnp.float32).reshape(b, t, h * dh)
+        out = mm(ctx, layer["wo"])
+        if layer.get("bo") is not None:
+            out = out + layer["bo"]
+        return out, kv
+    if read_first:
+        # decode read-first: score against the PRE-write cache window and
+        # merge the new token's k/v as an explicit extra column. The
+        # windowed read then no longer depends on this layer's
+        # dynamic_update_slice landing in the donated cache buffer, so
+        # the write retires whenever the scheduler likes (the write
+        # already happened above; only the READ source changes — `kv`
+        # holds the updated cache, k_old/v_old the previous value).
+        ctx = _scores_read_first(
+            spec, q, k_old, v_old, n_past, k[:, 0], v[:, 0], window
+        )
+        ctx = ctx.reshape(b, t, h * dh)
         out = mm(ctx, layer["wo"])
         if layer.get("bo") is not None:
             out = out + layer["bo"]
@@ -399,6 +418,86 @@ def round_window(pos: int, n_ctx: int) -> int:
     ate the saved HBM reads."""
     w = (max(int(pos), 1) + ATTN_WINDOW_STEP - 1) // ATTN_WINDOW_STEP
     return min(w * ATTN_WINDOW_STEP, n_ctx)
+
+
+def attn_read_first() -> bool:
+    """Decode attention reads the pre-write cache window and merges the
+    new token's k/v as an explicit column (CT_ATTN_READFIRST=0 restores
+    write-then-read). Breaking the per-layer write->read dependency on
+    the donated cache buffer lets XLA retire the dynamic_update_slice
+    concurrently with the attention math."""
+    import os
+
+    return os.environ.get("CT_ATTN_READFIRST", "0") == "1"
+
+
+def _scores_read_first(spec, q, k_cache, v_cache, n_past, k_new, v_new, window):
+    """Decode (T=1) attention over the PRE-write cache plus the current
+    token: scores for cache positions [0, n_past) come from the windowed
+    slab (row n_past holds stale data and is masked), the new token's
+    column is computed from k_new/v_new directly and concatenated onto
+    the (B, H, 1, W) score tensor — a ~32 KB copy, nothing like the
+    cache-sized copy the write->read ordering risks. bf16 cache only
+    (the int8 path keeps write-then-read so the merged column sees the
+    same quantization round-trip as the cached rows)."""
+    b = q.shape[0]
+    h, hkv, dh = spec.n_head, spec.kv_heads, spec.head_dim
+    hm = kv_head_major()
+    s_axis = 2 if hm else 1
+    if window is not None and window < k_cache.shape[s_axis]:
+        sl = _seq_slice(hm, window)
+        k_cache = k_cache[sl]
+        v_cache = v_cache[sl]
+    kf, vf = k_cache, v_cache
+    cdt = kf.dtype
+    head_axis = 1 if hm else 2
+    if hkv != h:
+        rep = h // hkv
+        kf = jnp.repeat(kf, rep, axis=head_axis)
+        vf = jnp.repeat(vf, rep, axis=head_axis)
+        k_new = jnp.repeat(k_new, rep, axis=1)
+        v_new = jnp.repeat(v_new, rep, axis=1)
+    s = kf.shape[2 if hm else 1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    scores = jnp.einsum(
+        "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
+        q.astype(cdt),
+        kf.astype(cdt),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    # new-token column: q . k_new per head, key position n_past
+    s_new = (
+        jnp.einsum(  # T=1 sums away the singleton query axis
+            "bthd,bhd->bh", q.astype(cdt), k_new.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )[:, :, None, None]  # (B, H, 1, 1)
+    if spec.alibi_bias_max > 0:
+        ab = alibi_bias(h, spec.alibi_bias_max, s)[None]
+        scores = scores + ab
+        # bias is linear in key position: extrapolate to position n_past
+        slopes = ab[0, :, 0, 1] - ab[0, :, 0, 0]
+        base = ab[0, :, 0, 0]
+        s_new = s_new + (
+            base[None, :, None, None]
+            + slopes[None, :, None, None] * n_past.astype(jnp.float32)
+        )
+    kpos = jnp.arange(s)[None, None, None, :]
+    scores = jnp.where(kpos < n_past, scores, -jnp.inf)  # old rows only
+    allsc = jnp.concatenate([scores, s_new], axis=-1)
+    probs = jax.nn.softmax(allsc, axis=-1)
+    ctx = jnp.einsum(
+        "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
+        probs[..., :s].astype(cdt),
+        vf.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    ctx = ctx + (
+        probs[..., s:].astype(jnp.float32)
+        * v_new.astype(jnp.float32)[:, None, :, :].transpose(0, 2, 1, 3)
+    ).transpose(0, 2, 1, 3)
+    return ctx.astype(jnp.float32)
 
 
 def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):

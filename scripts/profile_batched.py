@@ -41,9 +41,14 @@ def build():
     from ctransformers_tpu.models.synthetic import LLAMA_7B, random_params
     from ctransformers_tpu.ops import qmatmul as qm
 
-    spec = LLAMA_7B.replace(n_ctx=1024)
+    spec = LLAMA_7B.replace(n_ctx=int(os.environ.get("CT_PROF_NCTX", "1024")))
     t0 = time.time()
-    params = random_params(spec, seed=0, quantize="q4_k", exact=False)
+    try:
+        from bench import _cached_params
+
+        params = _cached_params(spec, "q4_k")
+    except Exception:
+        params = random_params(spec, seed=0, quantize="q4_k", exact=False)
     qm.fuse_layer_params(params)
     qm.autotune(params, batch_sizes=(SLOTS,))
     print(f"# params+autotune {time.time()-t0:.0f}s", file=sys.stderr)
