@@ -458,6 +458,17 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
 def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndarray:
     """XLA path: dequantize then matmul. compute_dtype=bfloat16 runs the
     GEMM operands in bf16 (f32 accumulation) for FLOPs-bound prefill."""
+    if os.environ.get("CT_EMULATE_ACTQ") and qt.group == 32:
+        # debug-only (scripts/debug_falcon_parity.py): emulate the
+        # reference CPU engine's activation quantization — ggml rounds x
+        # to Q8_0 blocks (f16 scale d = absmax/127) before every integer
+        # vec_dot (ggml.c:1663-1760), a systematic rounding the exact-f32
+        # dequant matmul here does not have.
+        xr = x.astype(jnp.float32).reshape(x.shape[0], -1, 32)
+        d = jnp.abs(xr).max(-1, keepdims=True) / 127.0
+        d = d.astype(jnp.float16).astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xr / jnp.where(d > 0, d, 1.0)), -127, 127)
+        x = (xq * d).reshape(x.shape[0], -1)
     k, n = qt.shape
     kp = qt.qs.shape[0] * (2 if qt.packed else 1)
     if kp != k:
@@ -1249,7 +1260,12 @@ def _tile_candidates(
     # bound — so the list is pruned to a few tile shapes and focuses on
     # the MODE axis: '' vs sum-fold 's' vs bf16-MXU-dot suffix 'b'.
     if packed and layout == "adjk":
-        # int4-bitcast kernels (bf16 MXU dots implied); tk counts BYTE rows
+        # int4-bitcast kernels (bf16 MXU dots implied); tk counts BYTE rows.
+        # The wide-tn 'q' tiles are the r04 probe_q6 finding: halving the
+        # column-grid count lifted Q4_K 520 -> 658 GB/s on the
+        # (4096,11264) shape (80% of HBM peak; the Q8_0 twin reads 714 =
+        # the dense control) — the per-grid-step compute exposure
+        # (int4->int8 cast + epilogue) amortizes over 2x the bytes.
         caps = (
             (256, 1024, 2, "i"),
             (512, 1024, 4, "i"),
@@ -1259,6 +1275,10 @@ def _tile_candidates(
             (512, 1024, 4, "g"),
             (512, 1024, 4, "q"),
             (1024, 1024, 8, "q"),
+            (512, 2048, 4, "q"),
+            (1024, 2048, 8, "q"),
+            (2048, 2048, 8, "q"),
+            (1024, 4096, 8, "q"),
         )
     elif packed:
         caps = (
@@ -1324,32 +1344,84 @@ _TILE_CACHE_PATH = os.environ.get(
 )
 
 
+def _parse_cache_file(path: str) -> dict:
+    import json
+
+    out = {}
+    with open(path) as f:
+        for k, v in json.load(f).items():
+            if len(v) not in (1, 4):  # ("xla",) or (tk, tn, inner, mode)
+                continue  # stale pre-mode cache entry
+            try:
+                kp, npad, g, has_m, mp, packed, sf, layout = k.split(",")
+            except ValueError:
+                continue  # stale pre-layout key
+            out[
+                (
+                    int(kp),
+                    int(npad),
+                    int(g),
+                    has_m == "True",
+                    int(mp),
+                    packed == "True",
+                    int(sf),
+                    layout,
+                )
+            ] = tuple(v)
+    return out
+
+
 def _load_disk_cache() -> None:
     try:
-        import json
-
-        with open(_TILE_CACHE_PATH) as f:
-            for k, v in json.load(f).items():
-                if len(v) not in (1, 4):  # ("xla",) or (tk, tn, inner, mode)
-                    continue  # stale pre-mode cache entry
-                try:
-                    kp, npad, g, has_m, mp, packed, sf, layout = k.split(",")
-                except ValueError:
-                    continue  # stale pre-layout key
-                _TILE_CACHE[
-                    (
-                        int(kp),
-                        int(npad),
-                        int(g),
-                        has_m == "True",
-                        int(mp),
-                        packed == "True",
-                        int(sf),
-                        layout,
-                    )
-                ] = tuple(v)
+        _TILE_CACHE.update(_parse_cache_file(_TILE_CACHE_PATH))
     except Exception:
         pass
+
+
+# Shipped tile-champion caches, the analog of the reference's committed
+# per-variant binaries (ctransformers/lib/avx2/libctransformers.so, built
+# and committed back by CI build.yml): raced on real hardware, committed
+# under data/, keyed by TPU generation. A fresh deployment (empty
+# ~/.cache) starts from these champions with ZERO races/heuristics; a
+# local user cache (newer races) overrides shipped entries.
+_SHIPPED_CACHE_BACKENDS = {
+    # jax Device.device_kind -> shipped file slug
+    "TPU v5 lite": "v5e",
+    "TPU v5e": "v5e",
+}
+_shipped_loaded = False
+
+
+def _load_shipped_cache() -> None:
+    """Merge the packaged tile cache for this backend (user entries win).
+    Deferred to first kernel use: device_kind needs an initialized
+    backend, which module import must not force."""
+    global _shipped_loaded
+    if _shipped_loaded:
+        return
+    _shipped_loaded = True
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return
+    slug = _SHIPPED_CACHE_BACKENDS.get(kind)
+    if slug is None:
+        # unknown TPU generation: tile shapes still transfer reasonably
+        # within the family; use v5e champions as a starting heuristic
+        slug = "v5e" if "TPU" in kind else None
+    if slug is None:
+        return
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        f"qmm_tiles_{slug}.json",
+    )
+    try:
+        shipped = _parse_cache_file(path)
+    except Exception:
+        return
+    for k, v in shipped.items():
+        _TILE_CACHE.setdefault(k, v)
 
 
 def _save_disk_cache() -> None:
@@ -1649,6 +1721,7 @@ def _qmm_pallas_tiled(
 
 
 def _pick_tiles(x, qt: QTensor):
+    _load_shipped_cache()
     m_real = x.shape[0]
     mp = _round_up(m_real, _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
@@ -1921,6 +1994,7 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
     stats = {"raced": 0, "warm": 0, "seconds": 0.0}
     if not _use_pallas() or not _AUTOTUNE:
         return stats
+    _load_shipped_cache()
     seen = set()
     leaves = jax.tree_util.tree_leaves(
         tree, is_leaf=lambda a: isinstance(a, QTensor)

@@ -466,3 +466,43 @@ def test_qmm_kernel_prefill_m128(kind, layout, monkeypatch):
         fro = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert fro < 0.025, f"{tag}: frobenius rel err {fro:.4f}"
         assert np.abs(got - ref).max() < 0.03 * scale, tag
+
+
+def test_shipped_tile_cache_parses_and_merges(monkeypatch):
+    """The packaged tile-champion cache (data/qmm_tiles_v5e.json — the
+    analog of the reference's committed per-variant binaries under
+    ctransformers/lib/) must parse into valid _TILE_CACHE entries, and
+    merging must never clobber fresher user-cache entries."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(qm.__file__), "..", "data", "qmm_tiles_v5e.json"
+    )
+    shipped = qm._parse_cache_file(path)
+    assert len(shipped) >= 20, "shipped cache unexpectedly small"
+    for key, v in shipped.items():
+        kp, npad, g, has_m, m, packed, sf, layout = key
+        assert kp > 0 and npad > 0 and g in (16, 32, 256) and m >= 1
+        assert layout in ("adjk", "ksplit")
+        assert v == ("xla",) or (
+            len(v) == 4 and v[0] > 0 and v[1] > 0 and v[2] >= 1
+        )
+    # the 7B decode shapes a fresh deployment needs must be present
+    assert any(k[4] == 1 and k[5] for k in shipped), "no m=1 packed entries"
+
+    # user entries win over shipped ones
+    key = next(iter(shipped))
+    monkeypatch.setattr(qm, "_shipped_loaded", False)
+    monkeypatch.setattr(qm, "_TILE_CACHE", {key: ("user-choice",)})
+    monkeypatch.setattr(
+        qm, "_SHIPPED_CACHE_BACKENDS", {"cpu": "v5e", "CPU": "v5e"}
+    )
+    import jax
+
+    monkeypatch.setattr(
+        qm.jax, "devices",
+        lambda: [type("D", (), {"device_kind": "TPU v5 lite"})()],
+    )
+    qm._load_shipped_cache()
+    assert qm._TILE_CACHE[key] == ("user-choice",)
+    assert len(qm._TILE_CACHE) == len(shipped)
