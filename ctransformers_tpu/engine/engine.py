@@ -128,9 +128,10 @@ class Engine:
             self.kv = pmesh.shard_kv(self.kv, spec, mesh)
         self.n_past = 0
         self.logits: Optional[np.ndarray] = None  # (V,) last-token logits
-        self.hidden: Optional[np.ndarray] = None  # (D,) last hidden state
+        self._hidden = None  # (D,) last hidden state (device array or np)
         self._steps = {}
         self._loops = {}
+        self._prewarmed = set()
         # timing counters (reference: llama_get_timings, llama.cpp:6189-6226)
         self.t_p_eval_us = 0  # prompt eval
         self.t_eval_us = 0  # decode eval
@@ -143,7 +144,76 @@ class Engine:
         self.n_sample = 0
         self.n_compile = 0
 
+    @property
+    def hidden(self) -> Optional[np.ndarray]:
+        """(D,) last hidden state. Fetched from device LAZILY: only
+        embed() consumes it, and the eager per-eval np.array() copy cost
+        a second ~30 ms D2H round-trip through the dispatch tunnel on
+        every prefill — a measured third of TTFT (BENCH_r03: 91 ms)."""
+        if self._hidden is not None and not isinstance(self._hidden, np.ndarray):
+            self._hidden = np.array(self._hidden, np.float32)
+        return self._hidden
+
+    @hidden.setter
+    def hidden(self, value) -> None:
+        self._hidden = value
+
     # -- compiled steps -----------------------------------------------------
+
+    def _prewarm_kernels(self, m: int) -> None:
+        """Compile each distinct (weight-shape, tile) Pallas kernel for
+        this m CONCURRENTLY before tracing the big forward program. Each
+        Mosaic kernel costs 7-47 s through the remote-compile tunnel
+        (scripts/profile_prefill_compile.py) and the big program's
+        backend compile requests them serially — the r03 "prefill(128)
+        143 s" regression is ~5 such kernels end to end. The compile
+        service runs 4 workers and partially caches repeated modules
+        (scripts/probe_compile_cache.py: 21.3 s cold -> 12.5 s warm;
+        4-kernel pool wall 45.8 s vs ~60 s serial), so a thread-pool
+        prewarm moves most of that cost off the serial path."""
+        if (
+            m in self._prewarmed
+            or self.mesh is not None
+            or jax.default_backend() == "cpu"
+            or os.environ.get("CT_PREWARM", "1") == "0"
+        ):
+            return
+        self._prewarmed.add(m)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {}
+        for qt in jax.tree_util.tree_leaves(
+            self.params, is_leaf=lambda a: isinstance(a, qm.QTensor)
+        ):
+            if not isinstance(qt, qm.QTensor):
+                continue
+            kp, npad = qt.qs.shape
+            key = (
+                kp, npad, qt.group, qt.mins is not None, m, qt.packed,
+                qt.sfactor, qt.pack_layout,
+            )
+            choice = qm._TILE_CACHE.get(key)
+            if choice is None or choice == ("xla",):
+                continue  # heuristic/XLA picks compile inline fast enough
+            jobs.setdefault((key[:4], key[5:], tuple(choice)), (qt, choice))
+        if len(jobs) <= 1:
+            return
+
+        def compile_one(args):
+            qt, choice = args
+            try:
+                x = jnp.zeros((m, qt.shape[0]), jnp.float32)
+                f = jax.jit(
+                    lambda xx, _q=qt, _c=tuple(choice): qm._qmm_pallas(
+                        xx, _q, choice=_c
+                    )
+                )
+                np.asarray(f(x))
+            except Exception:
+                pass  # the big program's own compile will surface errors
+
+        with ThreadPoolExecutor(4) as pool:
+            list(pool.map(compile_one, jobs.values()))
 
     def _step(self, t: int, window: Optional[int] = None):
         if (t, window) not in self._steps:
@@ -152,6 +222,7 @@ class Engine:
                 # before tracing (jit can't time; the race is disk-cached
                 # so this is one-time per (weight shape, m))
                 qm.autotune(self.params, batch_sizes=(self.batch * t,))
+                self._prewarm_kernels(self.batch * t)
             spec = self.spec
             sharded = self.mesh is not None
 
@@ -229,7 +300,7 @@ class Engine:
         # writable host copies: the public API exposes logits as a mutable
         # view whose edits must affect sampling (reference tests/test_model.py)
         self.logits = np.array(logits[0], np.float32)
-        self.hidden = np.array(hidden[0], np.float32)
+        self.hidden = hidden[0]  # lazy D2H (see the `hidden` property)
         self.n_past = n_past + len(tokens)
         dt_us = int((_time.perf_counter() - t0) * 1e6)
         if compiled:
@@ -467,7 +538,7 @@ class Engine:
             outs.append(np.array(logits[0], np.float32))
             pos += size
         self.logits = outs[-1][-1].copy()
-        self.hidden = np.array(hidden[0], np.float32)
+        self.hidden = hidden[0]  # lazy D2H (see the `hidden` property)
         self.n_past = n_past + len(tokens)
         return np.concatenate(outs, axis=0)
 

@@ -242,7 +242,9 @@ class LLM:
         without embedding support)."""
         if not self._bundle.supports_embeddings or self._engine.hidden is None:
             return []
-        return list(np.asarray(self._engine.hidden, np.float32))
+        # .tolist(): python floats, as the reference's c_float Vector
+        # yields (llm.py:666-689)
+        return np.asarray(self._engine.hidden, np.float32).tolist()
 
     # -- core methods ---------------------------------------------------------
 
