@@ -46,25 +46,37 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 # model shape: big enough to learn byte-level structure, small enough to
-# train in minutes. head_dim 32, GQA 8/4 — exercises the llama feature set.
-N_EMBD, N_HEAD, N_KV, N_LAYER, N_FF, N_CTX = 256, 8, 4, 4, 768, 256
+# train in minutes. head_dim 64, GQA 8/4 — exercises the llama feature set.
+# r04: scaled 4L/d256/ff768 -> 8L/d512/ff1536 (VERDICT r03 #6: the small
+# gate's dppl sign-flipped below 5 bpw; the 8x-larger model puts signal,
+# not noise, in both dppl and the KL bounds).
+N_EMBD, N_HEAD, N_KV, N_LAYER, N_FF, N_CTX = 512, 8, 4, 8, 1536, 256
 N_VOCAB = 259  # <unk>, <s>, </s> + 256 byte tokens
 BOS, BYTE0 = 1, 3
 SEED = 0
 
 
 def corpus() -> bytes:
-    """Real local text: this repo's source and docs (deterministic order)."""
+    """Real local text: this repo's source and docs plus the reference
+    tree's C/C++/Python sources (read-only public code used as training
+    DATA only), in deterministic order. r04: the reference tree grows the
+    corpus ~10x so the scaled-up gate model trains on more than it
+    memorizes."""
     parts = []
-    for root, dirs, files in os.walk(REPO):
-        dirs[:] = sorted(
-            d for d in dirs
-            if d not in (".git", "__pycache__", ".claude", ".pytest_cache")
-        )
-        for f in sorted(files):
-            if f.endswith((".py", ".md", ".cc", ".h")):
-                with open(os.path.join(root, f), "rb") as fh:
-                    parts.append(fh.read())
+    for top in (REPO, "/root/reference"):
+        if not os.path.isdir(top):
+            continue
+        for root, dirs, files in os.walk(top):
+            dirs[:] = sorted(
+                d for d in dirs
+                if d not in (".git", "__pycache__", ".claude",
+                             ".pytest_cache")
+            )
+            for f in sorted(files):
+                if f.endswith((".py", ".md", ".cc", ".h", ".c", ".cu",
+                               ".cpp", ".metal", ".m")):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        parts.append(fh.read())
     return b"\n\n".join(parts)
 
 
@@ -494,7 +506,7 @@ def _tf_verdict(mine: str, ref: str, rel_tol: float = 1e-3) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--out", default=os.path.join(REPO, "PPL_r03.json"))
     ap.add_argument("--workdir", default="/tmp/ct_quality")
     args = ap.parse_args()
