@@ -326,7 +326,7 @@ def _ensure_realfile_gguf() -> str:
     import numpy as np
 
     from ctransformers_tpu.formats.gguf import write_gguf
-    from ctransformers_tpu.formats.quants import GGMLType, quantize
+    from ctransformers_tpu.formats.quants import GGMLType
     from ctransformers_tpu.models.synthetic import LLAMA_7B
 
     sp = LLAMA_7B.replace(n_layer=16, n_ctx=1024)
@@ -335,17 +335,29 @@ def _ensure_realfile_gguf() -> str:
 
     tensors = {}
 
+    def synth_q4k(nelem: int) -> bytes:
+        # Valid Q4_K blocks synthesized directly (d/dmin small positive
+        # f16, random 6-bit scale bytes + nibbles): running 1.75B weights
+        # through the real qkx2-fit encoder takes ~45 min on host, and
+        # the metric here is the LOAD PATH — decode timing is
+        # content-independent. Layout: k_quants.h:76-83 (144 B / 256).
+        nb = nelem // 256
+        buf = np.empty((nb, 144), np.uint8)
+        d = (rng.random(nb, np.float32) * 2e-3 + 1e-4).astype("<f2")
+        dm = (rng.random(nb, np.float32) * 2e-3).astype("<f2")
+        buf[:, 0:2] = d.view(np.uint8).reshape(nb, 2)
+        buf[:, 2:4] = dm.view(np.uint8).reshape(nb, 2)
+        buf[:, 4:] = rng.integers(0, 256, (nb, 140), dtype=np.uint8)
+        return buf.tobytes()
+
     def wt(name, k, n, t=GGMLType.Q4_K):
         # forward layout (in=k, out=n); GGUF stores (out, in) row-major
         # with quant blocks along in — ne is GGML dim order (in, out)
-        w = (rng.standard_normal((n, k), np.float32) * 0.02).astype(
-            np.float32
-        )
-        data = (
-            w.astype("<f2").tobytes()
-            if t == GGMLType.F16
-            else quantize(w, t).tobytes()
-        )
+        if t == GGMLType.F16:
+            w = (rng.standard_normal((n, k), np.float32) * 0.02)
+            data = w.astype("<f2").tobytes()
+        else:
+            data = synth_q4k(n * k)
         tensors[name] = (t, (k, n), data)
 
     def vec(name, n):
@@ -384,7 +396,7 @@ def _ensure_realfile_gguf() -> str:
         "llama.block_count": sp.n_layer,
         "llama.feed_forward_length": ff,
         "llama.attention.head_count": sp.n_head,
-        "llama.attention.head_count_kv": sp.n_head_kv,
+        "llama.attention.head_count_kv": sp.n_head_kv or sp.n_head,
         "llama.attention.layer_norm_rms_epsilon": 1e-5,
         "llama.rope.dimension_count": d // sp.n_head,
         "tokenizer.ggml.model": "llama",
@@ -418,7 +430,7 @@ def bench_realfile(kind: str) -> None:
 import json, time, sys
 t0 = time.time()
 from ctransformers_tpu.models.registry import load_model
-b = load_model({path!r})
+b = load_model({path!r}, "llama")
 t1 = time.time()
 from ctransformers_tpu.engine.engine import Engine
 eng = Engine(b.spec, b.params)
@@ -441,10 +453,16 @@ print("RESULT:" + json.dumps({{
     "warm_decode_tok_s": round(64 / (t6 - t5), 1),
 }}), flush=True)
 """
-    r = subprocess.run(
-        [sys.executable, "-c", child], capture_output=True, text=True,
-        timeout=3600,
-    )
+    env = dict(os.environ, CT_PREWARM="0")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", child], capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_REALFILE_TIMEOUT", "1500")),
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print("# real-file child timed out; skipping metric", file=sys.stderr)
+        return
     lines = [l for l in r.stdout.splitlines() if l.startswith("RESULT:")]
     if not lines:
         print(

@@ -171,11 +171,17 @@ class Engine:
         (scripts/probe_compile_cache.py: 21.3 s cold -> 12.5 s warm;
         4-kernel pool wall 45.8 s vs ~60 s serial), so a thread-pool
         prewarm moves most of that cost off the serial path."""
+        # Default OFF: measured end to end (BENCH r04 first run), the
+        # prewarm made prefill compile WORSE (143 -> 267 s) — the Mosaic
+        # kernels embedded in the big program are compiled inside the
+        # remote server's own backend pass, which a local warm jit cannot
+        # seed, so the pool only ADDED its own compile cost. Kept behind
+        # CT_PREWARM=1 for environments with a shared kernel cache.
         if (
             m in self._prewarmed
             or self.mesh is not None
             or jax.default_backend() == "cpu"
-            or os.environ.get("CT_PREWARM", "1") == "0"
+            or os.environ.get("CT_PREWARM", "0") == "0"
         ):
             return
         self._prewarmed.add(m)

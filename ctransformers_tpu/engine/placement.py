@@ -45,25 +45,29 @@ def _np_bytes(a) -> np.ndarray:
     return a.view(np.uint8).reshape(-1)
 
 
+_WORD = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
 @functools.lru_cache(maxsize=128)
 def _unpack_fn(sig: tuple):
-    """jitted blob -> tuple-of-arrays splitter for one byte-layout
-    signature: tuple of (shape, dtype_name, itemsize, cast_name|None)."""
+    """jitted blobs -> tuple-of-arrays splitter for one layout signature:
+    tuple of (shape, dtype_name, itemsize, cast_name|None).
 
-    def unpack(blob):
+    One blob PER ITEMSIZE (u8/u16/u32/u64), sliced in signature order and
+    bitcast 1:1 (same-width elementwise). The earlier single-u8-blob form
+    bitcast via `bytes.reshape(-1, itemsize)` — a (N, 4) minor-dim array
+    that TPU tiling pads 4->128, i.e. a 32x HLO temp (15.1 GiB for a 7B's
+    f32 embedding table) that OOMed the 16 GiB HBM once a >=2 GiB model
+    was resident."""
+
+    def unpack(blobs):
         outs = []
-        off = 0
+        offs = {isz: 0 for isz in blobs}
         for shape, dt, isz, cast in sig:
-            n = int(np.prod(shape)) * isz
-            sl = jax.lax.slice(blob, (off,), (off + n,))
-            off += n
-            dtype = jnp.dtype(dt)
-            if isz == 1:
-                a = jax.lax.bitcast_convert_type(sl, dtype)
-            else:
-                a = jax.lax.bitcast_convert_type(
-                    sl.reshape(-1, isz), dtype
-                )
+            n = int(np.prod(shape))
+            sl = jax.lax.slice(blobs[isz], (offs[isz],), (offs[isz] + n,))
+            offs[isz] += n
+            a = jax.lax.bitcast_convert_type(sl, jnp.dtype(dt))
             a = a.reshape(shape)
             if cast is not None:
                 a = a.astype(jnp.dtype(cast))
@@ -77,15 +81,16 @@ def _place_group(leaves: List[Any], param_dtype) -> List[Any]:
     """Place one group of leaves (QTensors / arrays / passthrough) with a
     single H2D blob transfer. Returns placed leaves in order."""
     plan = []  # (kind, payload) per leaf; kind: "qt" | "arr" | "keep"
-    host_parts: List[np.ndarray] = []
+    host_parts: dict = {}  # itemsize -> list of word-view arrays
     sig: List[tuple] = []
 
     def add_array(a, cast: Optional[str]):
         a = np.asarray(a)
-        host_parts.append(_np_bytes(a))
-        sig.append(
-            (tuple(a.shape), a.dtype.name, int(a.dtype.itemsize), cast)
+        isz = int(a.dtype.itemsize)
+        host_parts.setdefault(isz, []).append(
+            _np_bytes(a).view(_WORD[isz])
         )
+        sig.append((tuple(a.shape), a.dtype.name, isz, cast))
 
     for leaf in leaves:
         if isinstance(leaf, QTensor):
@@ -115,12 +120,13 @@ def _place_group(leaves: List[Any], param_dtype) -> List[Any]:
             plan.append(("keep", leaf))
 
     if host_parts:
-        blob = (
-            host_parts[0]
-            if len(host_parts) == 1
-            else np.concatenate(host_parts)
-        )
-        arrays = list(_unpack_fn(tuple(sig))(jnp.asarray(blob)))
+        blobs = {
+            isz: jnp.asarray(
+                parts[0] if len(parts) == 1 else np.concatenate(parts)
+            )
+            for isz, parts in host_parts.items()
+        }
+        arrays = list(_unpack_fn(tuple(sig))(blobs))
     else:
         arrays = []
 
