@@ -1181,6 +1181,95 @@ def _qmm_q_kernel(
     out_ref[:] += acc
 
 
+def _qmm_qx_kernel(
+    xg_ref, *rest, group, zp, inner, packed4, cd=None,
+    has_mins=False, sfactor=0, has_bias=False,
+):
+    """'q' with the activation quantization INSIDE the kernel ("qx").
+
+    The 'q' mode quantizes activations in XLA before the pallas_call —
+    ~6 small host-graph ops (reshape/absmax/divide/round/clip/transpose)
+    per projection call, 4 calls/layer x 32 layers every decode step.
+    The r04 step decomposition (scripts/profile_batched.py, B=1) puts
+    ~1.5 ms/token of fixed per-call overhead on that glue — 18% of the
+    step. Here the kernel receives the RAW f32 activations pre-grouped
+    (tkg, m, g) and derives sx/xq/bias-sums on the VPU (a few thousand
+    elements per program; recomputed per column tile, still negligible),
+    so the XLA-side prep drops to one reshape+transpose per call.
+
+    Numerics are the 'q' formula verbatim: sx = absmax/127 per (group,
+    token), divide guarded by 1e-20, round-clip to int8, raw int8 MXU
+    dots, f32 partial-sum rescale by sx*s; the affine bias applies
+    through an in-kernel f32 dot against exact per-group activation sums
+    (no lane padding needed — the bias plane is already a VMEM block).
+    """
+    refs = list(rest)
+    out_ref = refs.pop()
+    qs_ref = refs.pop(0)
+    nplane = 1 + int(has_mins)
+    fac_refs = refs[nplane:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tks, tn = qs_ref.shape  # storage rows (bytes when packed4)
+    tk = 2 * tks if packed4 else tks
+    ck = tk // inner
+    ngc = ck // group
+    tkg = tk // group
+    cd = cd or jnp.float32
+    s = refs[0][...].astype(cd)
+    m = refs[1][...].astype(cd) if has_mins else None
+    if sfactor:
+        nf = tkg // sfactor
+        s, m = _apply_factors(
+            s, m, fac_refs[0], fac_refs[1] if has_mins else None,
+            j * nf, nf, sfactor, cd,
+        )
+    b = None
+    if packed4 and zp != 8:
+        b = cd(8 - zp) * s
+    if m is not None:
+        b = m if b is None else b + m
+
+    xf = xg_ref[...].astype(jnp.float32)  # (tkg, mq, g)
+    sx = jnp.max(jnp.abs(xf), axis=-1) / 127.0  # (tkg, mq)
+    xq = jnp.clip(
+        jnp.round(xf / jnp.maximum(sx, 1e-20)[:, :, None]), -127, 127
+    ).astype(jnp.int8)
+
+    acc = None
+    if b is not None and has_bias:
+        xs = jnp.swapaxes(jnp.sum(xf, axis=-1), 0, 1)  # (mq, tkg)
+        acc = jnp.dot(
+            xs, b.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+    for i in range(inner):
+        gs = slice(i * ngc, (i + 1) * ngc)
+        if packed4:
+            w4 = pltpu.bitcast(
+                qs_ref[i * (ck // 2) : (i + 1) * (ck // 2), :], jnp.int4
+            )
+            w = w4.astype(jnp.int8)
+        else:
+            w = qs_ref[i * ck : (i + 1) * ck, :]
+        wg = w.reshape(ngc, group, tn)
+        parts = jax.lax.dot_general(
+            xq[gs], wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
+        ).astype(jnp.float32)
+        d = (
+            parts
+            * sx[gs][:, :, None]
+            * s[gs].astype(jnp.float32)[:, None, :]
+        ).sum(0)
+        acc = d if acc is None else acc + d
+    out_ref[:] += acc
+
+
 def _qmm_rb_kernel(
     x_ref, qs_ref, *rest, group, inner, cd=None, dd=None,
     has_mins=False, sfactor=0,
@@ -1279,6 +1368,11 @@ def _tile_candidates(
             (1024, 2048, 8, "q"),
             (2048, 2048, 8, "q"),
             (1024, 4096, 8, "q"),
+            (512, 2048, 4, "qx"),
+            (1024, 2048, 8, "qx"),
+            (2048, 2048, 8, "qx"),
+            (512, 4096, 4, "qx"),
+            (1024, 4096, 8, "qx"),
         )
     elif packed:
         caps = (
@@ -1497,10 +1591,12 @@ def _qmm_pallas_tiled(
     mode = mode[:-1] if mode.endswith("b") else mode
     adjk = qt.packed and qt.pack_layout == "adjk"
     # grouped-dot kernel bias term: packed grids re-bias (8 - zp) unless
-    # zp == 8; applies to both the bf16 "g" and int8 "q"/"q4" variants
+    # zp == 8; applies to both the bf16 "g" and int8 "q"/"q4" variants.
+    # "qx" computes its bias sums in-kernel — no xs operand.
     g_bias = mode in ("g", "q", "q4") and (
         (qt.packed and qt.zp != 8) or has_mins
     )
+    qx_bias = mode == "qx" and ((qt.packed and qt.zp != 8) or has_mins)
 
     if mode in ("s", "si") or g_bias:
         # sum-fold kernels: per-group activation sums ride along so the
@@ -1519,12 +1615,14 @@ def _qmm_pallas_tiled(
                 ((0, 0), (0, 0), (0, pw - tkg)),
             ).reshape(mp, -1)
 
-    if mode in ("g", "q", "q4"):
+    if mode in ("g", "q", "q4", "qx"):
         # grouped-dot kernels: activations pre-arranged (ng, mp, G); raw
         # grid dots batched over groups, scales applied to partial sums.
         # "g" feeds the MXU bf16 grids; "q"/"q4" quantize the activations
         # to per-group int8 here (once per call, XLA-fused into the
-        # surrounding step) and feed raw INTEGER operands.
+        # surrounding step) and feed raw INTEGER operands; "qx" ships the
+        # RAW f32 activations and quantizes on the kernel's VPU (kills
+        # the per-call XLA prep glue, see _qmm_qx_kernel).
         if qt.packed and not adjk:
             raise ValueError(f"{mode} mode needs the adjk packed layout")
         if mode == "q4" and not adjk:
@@ -1538,7 +1636,20 @@ def _qmm_pallas_tiled(
         mq = rm if rm and 0 < rm < mp else mp
         mo = mq  # kernel output rows
         xm_ = x[:mq]
-        if mode == "g":
+        if mode == "qx":
+            xg = (
+                xm_.reshape(mq, kreal // g, g)
+                .transpose(1, 0, 2)
+                .astype(jnp.float32)
+            )
+            kernel = functools.partial(
+                _qmm_qx_kernel, group=g, zp=qt.zp, inner=inner,
+                packed4=adjk, cd=cd, has_mins=has_mins, sfactor=sf,
+                has_bias=qx_bias,
+            )
+            in_specs = [pl.BlockSpec((tkg, mq, g), lambda i, j: (j, 0, 0))]
+            args = [xg]
+        elif mode == "g":
             xg = (
                 xm_.reshape(mq, kreal // g, g)
                 .transpose(1, 0, 2)

@@ -241,15 +241,16 @@ def _logsumexp(a: np.ndarray) -> np.ndarray:
 
 
 # KL regression bounds per format (nats). The gate model RETRAINS every
-# run, and measured KLs swing ~2-4x between trainings (r03: q4_k read
-# 0.013 one run and 0.051 the next, both healthy) — so the absolute
-# bounds sit ~5x above the largest healthy reading; a codec/kernel
-# regression shows up as orders of magnitude, not fractions (a broken
-# scale plane pushes KL past 1 nat). The ORDERING checks below are the
+# run and readings swing ~2-4x between trainings, so bounds sit ~4x above
+# the r04 healthy readings of the scaled 8L/d512 model (PPL_r04: q8_0
+# 0.00074, q6_k 0.0030, q5_k 0.0082, q4_k 0.0185, q5_0 0.0107, q4_0
+# 0.033, q3_k 0.044, q2_k 0.112) — 2-6x tighter than the r03 bounds
+# (VERDICT r03 #6); a codec/kernel regression still shows up as orders
+# of magnitude, not fractions. The ORDERING checks below are the
 # scale-free, retrain-stable part of the gate.
 KL_BOUNDS = {
-    "q8_0": 1e-3, "q6_k": 5e-3, "q5_k": 2.5e-2, "q5_0": 8e-2,
-    "q4_k": 2.5e-1, "q4_0": 5e-1, "q3_k": 1.0, "q2_k": 2.5,
+    "q8_0": 3e-3, "q6_k": 1.2e-2, "q5_k": 3.5e-2, "q5_0": 4.5e-2,
+    "q4_k": 8e-2, "q4_0": 1.5e-1, "q3_k": 1.8e-1, "q2_k": 4.5e-1,
 }
 
 
@@ -399,7 +400,7 @@ def walk(llm, toks, cont):
 """
     # fixed continuation all teacher-forced cases share (prompt-dependent
     # ids would re-introduce free-running divergence)
-    tf_n = 16
+    tf_n = 64  # r04: VERDICT asked >=64 teacher-forced steps
     base = os.path.splitext(f16_path)[0]
     # trained-model files: f16 + q4_k free-run (exact lock); every other
     # format teacher-forced (evaluate() wrote these)
@@ -423,6 +424,17 @@ def walk(llm, toks, cont):
     ggcc = os.path.join(workdir, "parity_falcon.ggcc")
     fixtures.build_falcon_ggcc(ggcc, wtype=fixtures.GGMLType.Q4_0, seed=4)
     cases.append((ggcc, "falcon", [1, 5, 9, 12, 7], None, True))
+    # the falcon fixture vocab is only 51 pieces — keep every
+    # teacher-forced id strictly in range for ALL cases. r03's "step-8
+    # 1.56-logit divergence" (VERDICT Weak #4) was continuation id 55
+    # fed to that 51-token vocab: this engine clamps the embedding
+    # gather (jax default), the reference's ggml_get_rows reads
+    # OUT-OF-BOUNDS memory — comparing defined behavior against UB,
+    # not an engine bug (scripts/debug_falcon_parity.py bisect: the
+    # divergence tracks the OOB id exactly, is insensitive to layer
+    # count / KV dtype / activation-quant numerics, and both engines
+    # return token-independent logits for the OOB range)
+    tf_vocab_cap = 48
 
     out = {}
     for path, mtype, ptoks, check_prompt, tforce in cases:
@@ -431,7 +443,7 @@ def walk(llm, toks, cont):
             f"assert mine.tokenize({check_prompt!r}) == toks"
             if check_prompt else ""
         )
-        cont = [(7 * i + 3) % 59 + 3 for i in range(tf_n)]
+        cont = [(7 * i + 3) % (tf_vocab_cap - 3) + 3 for i in range(tf_n)]
         if tforce:
             call_mine = f"walk(mine, toks, {cont!r})"
             call_ref = f"walk(ref, toks, {cont!r})"

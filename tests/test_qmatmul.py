@@ -168,7 +168,7 @@ def test_qmm_kernel_variants_match(kind, layout, monkeypatch):
             assert amax < 0.03 * scale or amax < 1.4 * bound * scale, (
                 f"{tag}: max abs err {amax:.4f} vs scale {scale:.4f}"
             )
-            if mode in ("g", "q", "q4"):
+            if mode in ("g", "q", "q4", "qx"):
                 # real-m sliced epilogue: same numbers, (rm, n) output
                 out = qm._qmm_pallas_tiled(
                     jnp.asarray(xp), qt, tk, tn, inner, interpret=True,
