@@ -94,6 +94,15 @@ def main():
     # throughput, so the batched-serving number rides along by default
     mode = os.environ.get("BENCH_MODE", "both")
 
+    # real-file cold wall FIRST (VERDICT r03 #7): the child is a fresh
+    # process with its own TPU claim — running it while this process has
+    # live buffers/claims measured 1.7x slower (287 s vs 173 s cold wall)
+    if mode == "both" and os.environ.get("BENCH_REALFILE", "1") != "0":
+        try:
+            bench_realfile(kind)
+        except Exception as e:  # pragma: no cover - bench-only guard
+            print(f"# real-file bench failed: {e!r}", file=sys.stderr)
+
     spec = LLAMA_7B.replace(n_ctx=n_ctx)
     t0 = time.time()
     params = _cached_params(spec, kind)
@@ -193,14 +202,6 @@ def main():
         print(f"# honest decode failed: {e!r}", file=sys.stderr)
 
     if mode == "both":
-        # real-file cold wall (VERDICT r03 #7): a full multi-GB GGUF
-        # through open -> load/repack -> place -> prefill -> serve, in a
-        # FRESH process (nothing warm but the committed tile cache)
-        if os.environ.get("BENCH_REALFILE", "1") != "0":
-            try:
-                bench_realfile(kind)
-            except Exception as e:  # pragma: no cover - bench-only guard
-                print(f"# real-file bench failed: {e!r}", file=sys.stderr)
         # batched-serving headline next; the parsed single-stream
         # headline stays the LAST line
         try:

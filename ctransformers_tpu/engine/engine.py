@@ -367,7 +367,13 @@ class Engine:
             (kv, logits, n_past, key, last), toks = jax.lax.scan(
                 body, (kv, logits, n_past, key, last), None, length=n
             )
-            return toks, logits, kv
+            # ONE host transfer for (logits, tokens): each D2H pays a
+            # full dispatch round-trip through the tunnel (~30 ms);
+            # fetching them separately cost ~2x that per decode() call
+            packed = jnp.concatenate(
+                [logits, jax.lax.bitcast_convert_type(toks, jnp.float32)]
+            )
+            return packed, kv
 
         kwargs = {}
         if sharded and jax.process_count() > 1:
@@ -375,7 +381,7 @@ class Engine:
 
             rep = NamedSharding(mesh, P())
             kwargs["out_shardings"] = (
-                rep, rep, jax.tree.map(lambda a: a.sharding, self.kv)
+                rep, jax.tree.map(lambda a: a.sharding, self.kv)
             )
         self._loops[key_] = jax.jit(run, donate_argnums=(1,), **kwargs)
         return self._loops[key_]
@@ -423,7 +429,7 @@ class Engine:
         run = self._decode_loop(n, cfg, window)
         if key is None:
             key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
-        toks, logits, self.kv = run(
+        packed, self.kv = run(
             self.params,
             self.kv,
             jnp.asarray(self.logits),
@@ -432,8 +438,9 @@ class Engine:
             jnp.asarray(last),
         )
         self.n_past += n
-        self.logits = np.array(logits, np.float32)
-        out = [int(t) for t in np.asarray(toks)]
+        arr = np.asarray(packed)  # single D2H round-trip
+        self.logits = np.array(arr[: arr.size - n], np.float32)
+        out = [int(t) for t in arr[arr.size - n :].view(np.int32)]
         dt_us = int((_time.perf_counter() - t0) * 1e6)
         if compiled:
             self.t_compile_us += dt_us
