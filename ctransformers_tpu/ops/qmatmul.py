@@ -1406,8 +1406,12 @@ def _tile_candidates(
             c for c in caps
             if c[3].endswith("b") or c[3] in ("i", "si")
         ) or caps[-1:]
-        caps = tuple((min(tk, 2048 if mp <= 256 else 1024), tn, i, m)
-                     for tk, tn, i, m in caps)
+        # x blocks are (mp, 2*tk) f32: cap tk so the block alone stays
+        # well under the 16 MB scoped-VMEM budget (a 32-slot x 32-token
+        # batched prefill = mp 1024 OOM'd at tk 2048: x block 8 MB +
+        # dequant buffers + out block > 16 MB)
+        tk_cap = 2048 if mp <= 256 else (1024 if mp <= 512 else 512)
+        caps = tuple((min(tk, tk_cap), tn, i, m) for tk, tn, i, m in caps)
     cands = []
     for tk_cap, tn_cap, inner, mode in caps:
         tk = _tile_divisor(kp, tk_cap)

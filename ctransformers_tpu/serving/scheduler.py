@@ -378,6 +378,17 @@ class BatchScheduler:
             top = max((int(self.n_past[s]) for s in self.active), default=0)
             hi = max(start[s] + pos + size for s in toks)
             w = round_window(max(top + 1, hi), self.spec.n_ctx)
+            if self.mesh is None:
+                # race kernel tiles at this chunk's TOKEN count before
+                # tracing (batched prefill flattens to m = slots * size;
+                # the trace-time heuristic cannot reject tiles whose
+                # VMEM footprint only fails at compile time — a 32-slot
+                # x 32-token prefill OOM'd scoped vmem exactly that way)
+                from ..ops import qmatmul as qm
+
+                qm.autotune(
+                    self.params, batch_sizes=(self.slots * size,)
+                )
             logits, _, self.kv = self._step_fn(w)(
                 self.params,
                 jnp.asarray(chunk_tokens),
