@@ -1427,6 +1427,10 @@ def _tile_candidates(
 # (kp, npad, group, has_mins, mp, packed) -> (tk, tn, inner, mode), chosen
 # by timing on first use. v2: entries carry the kernel-variant mode.
 _TILE_CACHE: dict = {}
+# keys whose entry is a DEGRADED-DEVICE fallback (heuristic, not a
+# measured champion): excluded from _save_disk_cache so a later healthy
+# race's save cannot persist them (that poisoned the disk cache in r04)
+_TAINTED_KEYS: set = set()
 # CT_QMM_AUTOTUNE: "1" race candidates on first use (default); "0" no
 # Pallas tuning at all; "precompiled" TRUST the shipped disk cache and
 # fall back to the shape heuristic for unknown keys — never race (cold
@@ -1529,7 +1533,11 @@ def _save_disk_cache() -> None:
         os.makedirs(os.path.dirname(_TILE_CACHE_PATH), exist_ok=True)
         with open(_TILE_CACHE_PATH, "w") as f:
             json.dump(
-                {",".join(map(str, k)): list(v) for k, v in _TILE_CACHE.items()},
+                {
+                    ",".join(map(str, k)): list(v)
+                    for k, v in _TILE_CACHE.items()
+                    if k not in _TAINTED_KEYS
+                },
                 f,
             )
     except Exception:
@@ -2035,10 +2043,17 @@ def _pick_tiles(x, qt: QTensor):
         # race: reuse the closest-m cached champion for this weight
         # shape if one exists, else the shape heuristic — in-memory
         # only, so a later healthy run re-races.
+        # only closest-m champions that are VALID CANDIDATES at THIS m:
+        # block VMEM scales with m (x block (mp, 2*tk) f32, out block
+        # (mp, tn) f32) and the mode list shrinks at m>32 — an m=8
+        # champion like (512,4096,4,'q') reused at a batched-prefill
+        # m=1024 OOM'd scoped vmem (out block alone 16 MB)
+        ok = set(cands)
         same_shape = [
             (abs(k2[4] - m_real), v)
             for k2, v in _TILE_CACHE.items()
-            if k2[:4] == key[:4] and k2[5:] == key[5:] and v != ("xla",)
+            if k2[:4] == key[:4] and k2[5:] == key[5:]
+            and v != ("xla",) and tuple(v) in ok
         ]
         fallback = (
             tuple(min(same_shape, key=lambda t: t[0])[1])
@@ -2051,9 +2066,11 @@ def _pick_tiles(x, qt: QTensor):
             dense_bw / 1e9, cal_min / 1e9, best, fallback,
         )
         _TILE_CACHE[key] = fallback
+        _TAINTED_KEYS.add(key)
         return fallback
 
     _TILE_CACHE[key] = best
+    _TAINTED_KEYS.discard(key)
     _save_disk_cache()
     return best
 
