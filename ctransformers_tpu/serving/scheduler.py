@@ -15,6 +15,7 @@ Sampling runs host-side per slot with the exact reference sampler semantics
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -358,10 +359,18 @@ class BatchScheduler:
         n = len(next(iter(toks.values())))
         assert all(len(t) == n for t in toks.values())
         pos = 0
-        # chunk sizes mirror Engine._chunks: log2 many compiled shapes
+        # chunk sizes mirror Engine._chunks: log2 many compiled shapes.
+        # Every dispatch carries ALL slots (inactive ones masked), so the
+        # batched qmm flattens to m = slots * size — cap the chunk so
+        # that stays <= ~512 tokens: at m=1024 (32 slots x 32) the
+        # prefill kernels' double-buffered VMEM blocks exceed the 16 MB
+        # scoped budget at every candidate tile (r04; m=512 measured
+        # fine at slots=16).
         from ..engine.engine import Engine
 
-        for size in Engine._chunks(n, self.spec.n_ctx):
+        tok_cap = int(os.environ.get("CT_PREFILL_TOKEN_CAP", "512"))
+        size_cap = min(self.spec.n_ctx, max(1, tok_cap // self.slots))
+        for size in Engine._chunks(n, size_cap):
             # NOTE: on the CPU backend jnp.asarray aliases numpy buffers
             # zero-copy, and dispatch is async — every call gets FRESH
             # arrays, never a mutated shared one (that was a real race)
