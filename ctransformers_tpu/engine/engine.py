@@ -129,6 +129,8 @@ class Engine:
         self.n_past = 0
         self.logits: Optional[np.ndarray] = None  # (V,) last-token logits
         self._hidden = None  # (D,) last hidden state (device array or np)
+        self._logits_dev = None  # device twin of logits (upload-skip)
+        self._logits_snap: Optional[np.ndarray] = None
         self._steps = {}
         self._loops = {}
         self._prewarmed = set()
@@ -306,6 +308,8 @@ class Engine:
         # writable host copies: the public API exposes logits as a mutable
         # view whose edits must affect sampling (reference tests/test_model.py)
         self.logits = np.array(logits[0], np.float32)
+        self._logits_dev = logits[0]
+        self._logits_snap = self.logits.copy()
         self.hidden = hidden[0]  # lazy D2H (see the `hidden` property)
         self.n_past = n_past + len(tokens)
         dt_us = int((_time.perf_counter() - t0) * 1e6)
@@ -338,12 +342,18 @@ class Engine:
 
         mesh = self.mesh
 
-        def run(params, kv, logits, n_past, key, last):
+        def run(params, kv, logits, aux, key):
             import contextlib
 
+            # aux packs [n_past, last_0..last_{L-1}] int32 — ONE host
+            # upload instead of two (every H2D through the tunnel costs
+            # a round-trip; the logits operand usually stays device-
+            # resident entirely, see decode())
             ctx = qm.tp_ctx(mesh) if sharded else contextlib.nullcontext()
             with ctx:
-                return _run_inner(params, kv, logits, n_past, key, last)
+                return _run_inner(
+                    params, kv, logits, aux[0], key, aux[1:]
+                )
 
         def _run_inner(params, kv, logits, n_past, key, last):
             def body(carry, _):
@@ -429,17 +439,28 @@ class Engine:
         run = self._decode_loop(n, cfg, window)
         if key is None:
             key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
+        # logits operand: reuse the DEVICE-resident copy from the last
+        # eval/decode when the host array is untouched (the public API
+        # exposes logits as a writable buffer whose edits must affect
+        # sampling — test_model.py semantics — so a cheap equality check
+        # against the snapshot gates the fast path)
+        logits_op = None
+        if self._logits_dev is not None and self._logits_snap is not None:
+            if np.array_equal(self._logits_snap, self.logits):
+                logits_op = self._logits_dev
+        if logits_op is None:
+            logits_op = jnp.asarray(self.logits)
+        aux = np.empty(1 + last.size, np.int32)
+        aux[0] = self.n_past
+        aux[1:] = last
         packed, self.kv = run(
-            self.params,
-            self.kv,
-            jnp.asarray(self.logits),
-            jnp.int32(self.n_past),
-            key,
-            jnp.asarray(last),
+            self.params, self.kv, logits_op, jnp.asarray(aux), key
         )
         self.n_past += n
         arr = np.asarray(packed)  # single D2H round-trip
+        self._logits_dev = packed[: arr.size - n]
         self.logits = np.array(arr[: arr.size - n], np.float32)
+        self._logits_snap = self.logits.copy()
         out = [int(t) for t in arr[arr.size - n :].view(np.int32)]
         dt_us = int((_time.perf_counter() - t0) * 1e6)
         if compiled:
@@ -514,6 +535,8 @@ class Engine:
         self.n_past = 0
         self.logits = None
         self.hidden = None
+        self._logits_dev = None
+        self._logits_snap = None
 
     def rewind(self, n_past: int) -> None:
         """Drop cached context beyond `n_past` (prefix reuse)."""
@@ -551,6 +574,8 @@ class Engine:
             outs.append(np.array(logits[0], np.float32))
             pos += size
         self.logits = outs[-1][-1].copy()
+        self._logits_dev = None  # host-derived; no device twin
+        self._logits_snap = None
         self.hidden = hidden[0]  # lazy D2H (see the `hidden` property)
         self.n_past = n_past + len(tokens)
         return np.concatenate(outs, axis=0)
@@ -618,6 +643,8 @@ class Engine:
         self.kv = kv
         self.n_past = n
         self.logits = None if state["logits"] is None else np.array(state["logits"])
+        self._logits_dev = None
+        self._logits_snap = None
         self.hidden = None if state["hidden"] is None else np.array(state["hidden"])
 
     # -- timings / profiling --------------------------------------------------
