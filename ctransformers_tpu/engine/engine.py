@@ -30,6 +30,24 @@ import numpy as np
 # path sets its own per-kernel precision and is unaffected.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: each distinct Mosaic kernel costs
+# 7-47 s through the remote-compile tunnel and the t=128 prefill program
+# embeds ~5 of them (~170-260 s cold, scripts/profile_prefill_compile.py).
+# probe_compile_persist (r04): cold 64.1 s -> warm 1.0 s ACROSS
+# PROCESSES — the r02 "enabling it hangs" failure no longer reproduces.
+# CT_COMPILE_CACHE=0 disables; any other value overrides the directory.
+_cc = os.environ.get(
+    "CT_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/ctransformers_tpu/xla_cache"),
+)
+if _cc and _cc != "0":
+    try:
+        os.makedirs(_cc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - older jax knobs
+        pass
+
 from ..models.forward import KVCache, forward
 from ..models.spec import ArchSpec
 from ..ops import qmatmul as qm

@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = """
 import os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/ct_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -44,7 +44,7 @@ print(f"RESULT: compile+run {time.time()-t0:.1f}s", flush=True)
 def run_child(tag):
     t0 = time.time()
     p = subprocess.Popen(
-        [sys.executable, "-c", CHILD.format(repo=REPO)],
+        [sys.executable, "-c", CHILD.replace("@REPO@", REPO)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     # cooperative wait: poll, report, NEVER kill
