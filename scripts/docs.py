@@ -25,6 +25,8 @@ def config_table() -> str:
     ]
     hints = get_type_hints(Config)
     for param, description in config_docs.items():
+        if param not in hints:
+            continue  # call-level kwarg (e.g. guidance_scale), not Config
         type_ = "List[str]" if param == "stop" else getattr(
             hints[param], "__name__", str(hints[param])
         )
