@@ -506,3 +506,25 @@ def test_shipped_tile_cache_parses_and_merges(monkeypatch):
     qm._load_shipped_cache()
     assert qm._TILE_CACHE[key] == ("user-choice",)
     assert len(qm._TILE_CACHE) == len(shipped)
+
+
+def test_tainted_keys_never_persist(tmp_path, monkeypatch):
+    """Degraded-device fallback champions must not reach the disk cache
+    (r04: a later healthy race's full-dict save persisted an m=1024
+    OOM-inducing fallback)."""
+    import json
+    import os
+
+    path = str(tmp_path / "tiles.json")
+    monkeypatch.setattr(qm, "_TILE_CACHE_PATH", path)
+    good = (2048, 4096, 32, True, 1, True, 8, "adjk")
+    bad = (2048, 4096, 32, True, 1024, True, 8, "adjk")
+    monkeypatch.setattr(
+        qm, "_TILE_CACHE",
+        {good: (512, 2048, 4, "qx"), bad: (2048, 1024, 8, "si")},
+    )
+    monkeypatch.setattr(qm, "_TAINTED_KEYS", {bad})
+    qm._save_disk_cache()
+    with open(path) as f:
+        saved = json.load(f)
+    assert len(saved) == 1 and ",1024," not in next(iter(saved))

@@ -394,3 +394,28 @@ def test_scheduler_on_mesh_matches_single_device(tmp_path):
     got3 = sched3.run(device_chunk=3)
     for ru, u in zip(ref_uids, uids3):
         assert got3[u] == ref[ru]
+
+
+def test_batched_prefill_token_cap(monkeypatch):
+    """32 slots x long prompts must chunk so slots * chunk stays under
+    CT_PREFILL_TOKEN_CAP (the m=1024 batched-prefill VMEM OOM, r04);
+    generation output must be unaffected by the chunking."""
+    import numpy as np
+
+    from ctransformers_tpu.models.synthetic import LLAMA_TINY, random_params
+    from ctransformers_tpu.serving.scheduler import BatchScheduler, Request
+
+    params = random_params(LLAMA_TINY, seed=0, quantize="q8_0")
+    prompt = [(3 + 7 * i) % LLAMA_TINY.n_vocab for i in range(24)]
+
+    def run(slots, cap):
+        monkeypatch.setenv("CT_PREFILL_TOKEN_CAP", str(cap))
+        sched = BatchScheduler(LLAMA_TINY, params, batch_slots=slots)
+        sched.submit(Request(tokens=list(prompt), max_new_tokens=6,
+                             sampler="greedy"))
+        out = sched.run()
+        return list(out.values())[0]
+
+    # small cap forces multi-chunk prefill; big cap single-chunk — same
+    # greedy tokens either way
+    assert run(4, 16) == run(4, 4096)
