@@ -275,6 +275,21 @@ def resolve_kv_dtype(name):
     return kinds[name]
 
 
+def _attn_prec(cdt):
+    """Explicit precision for attention einsums. The engine pins the
+    GLOBAL jax_default_matmul_precision to "highest" for f32 logit
+    parity; inherited by bf16-operand einsums that forces upcast
+    multi-pass math (the same trap that made bf16 kernel dots six-pass,
+    NOTES r03). bf16 operands take DEFAULT (single-pass bf16 MXU, the
+    numerics the bf16 cache already implies); f32 operands keep HIGHEST
+    (bit-parity with the reference f32 paths)."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if cdt == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def _attention(
     spec: ArchSpec,
     layer: Params,
@@ -464,12 +479,14 @@ def _scores_read_first(spec, q, k_cache, v_cache, n_past, k_new, v_new, window):
         q.astype(cdt),
         kf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     ) * scale
     # new-token column: q . k_new per head, key position n_past
     s_new = (
         jnp.einsum(  # T=1 sums away the singleton query axis
             "bthd,bhd->bh", q.astype(cdt), k_new.astype(cdt),
             preferred_element_type=jnp.float32,
+            precision=_attn_prec(cdt),
         )
         * scale
     )[:, :, None, None]  # (B, H, 1, 1)
@@ -492,6 +509,7 @@ def _scores_read_first(spec, q, k_cache, v_cache, n_past, k_new, v_new, window):
         probs[..., :s].astype(cdt),
         vf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     )
     ctx = ctx + (
         probs[..., s:].astype(jnp.float32)
@@ -531,6 +549,7 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
         q.astype(cdt),
         kf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     ) * scale
     if quant:
         scores = scores * _scale_bcast(hm, k_scale)
@@ -551,6 +570,7 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
         probs.astype(cdt),
         vf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     ).astype(jnp.float32)
 
 
@@ -608,6 +628,7 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=Non
             "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
             qf, k_c.astype(cdt),
             preferred_element_type=jnp.float32,
+            precision=_attn_prec(cdt),
         ) * scale  # (B, H, T, c)
         if quant:  # scale plane -> (B, H, 1, c)
             s_c = s_c * (ks_c if hm else ks_c.transpose(0, 2, 1))[:, :, None, :]
@@ -632,6 +653,7 @@ def _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=Non
             pv_in.astype(cdt),
             v_c.astype(cdt),
             preferred_element_type=jnp.float32,
+            precision=_attn_prec(cdt),
         )
         acc = acc * alpha.transpose(0, 2, 1)[..., None] + pv
         return (m_new, l, acc, idx + 1), None
@@ -797,6 +819,7 @@ def _attention_batched(
         "bthd,bhsd->bhts" if hm else "bthd,bshd->bhts",
         q.astype(cdt), kf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     ) * scale
     if quant:
         scores = scores * _scale_bcast(hm, ksf)
@@ -815,6 +838,7 @@ def _attention_batched(
         "bhts,bhsd->bthd" if hm else "bhts,bshd->bthd",
         probs.astype(cdt), vf.astype(cdt),
         preferred_element_type=jnp.float32,
+        precision=_attn_prec(cdt),
     ).astype(jnp.float32).reshape(b, t, h * dh)
     out = mm(ctx, layer["wo"])
     if layer.get("bo") is not None:
