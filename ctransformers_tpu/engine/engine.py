@@ -42,9 +42,16 @@ _cc = os.environ.get(
 )
 if _cc and _cc != "0":
     try:
-        os.makedirs(_cc, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # respect an embedding application's own persistent-cache setup:
+        # only install ours when jax_compilation_cache_dir is still unset
+        # (CT_COMPILE_CACHE stays the explicit override either way)
+        _prior = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if _prior in (None, "") or "CT_COMPILE_CACHE" in os.environ:
+            os.makedirs(_cc, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cc)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
     except Exception:  # pragma: no cover - older jax knobs
         pass
 

@@ -138,6 +138,90 @@ def sample_llama(
     return int(idx[_draw(probs, rng)])
 
 
+def rep_penalty_mask(
+    n_vocab: int,
+    last_tokens: Sequence[int],
+    penalty_max: float,
+    sustain: int,
+    decay: int,
+) -> np.ndarray:
+    """Per-vocab repetition-penalty factors with a decaying window — the
+    GPTQ twin's schedule (reference ctransformers/gptq/llm.py:174-176 maps
+    token_repetition_penalty_max=penalty, _sustain=last_n_tokens,
+    _decay=last_n_tokens//2 onto ExLlama's generator settings).
+
+    Walking back from the newest token: the most recent `sustain` tokens
+    carry the full `penalty_max`; each step further back fades the factor
+    linearly toward 1.0 over `decay` positions; tokens older than
+    sustain+decay are unpenalized. A token appearing at several ages keeps
+    its strongest (most recent) factor.
+    """
+    mask = np.ones(n_vocab, np.float64)
+    seq = [int(t) for t in last_tokens]
+    sustain, decay = int(sustain), max(int(decay), 0)
+    dv = (1.0 - penalty_max) / decay if decay > 0 else 0.0
+    for i in range(len(seq) - 1, -1, -1):
+        age = len(seq) - 1 - i  # 0 = most recent
+        if age < sustain:
+            v = float(penalty_max)
+        elif age < sustain + decay:
+            v = penalty_max + (age - sustain + 1) * dv
+        else:
+            break  # older tokens are unpenalized
+        t = seq[i]
+        if 0 <= t < n_vocab and abs(v - 1.0) > abs(mask[t] - 1.0):
+            mask[t] = v
+    return mask
+
+
+def sample_llama_decayed(
+    logits: np.ndarray,
+    *,
+    top_k: int,
+    top_p: float,
+    temperature: float,
+    repetition_penalty: float,
+    last_tokens: Sequence[int],
+    seed: int,
+    sustain: int,
+    decay: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> int:
+    """llama chain with the GPTQ backend's decaying repetition penalty
+    (see rep_penalty_mask). `last_tokens` should cover sustain+decay
+    positions of context."""
+    if rng is None:
+        rng = np.random.RandomState(_resolve_seed(seed))
+    n = logits.shape[0]
+    l = logits.astype(np.float64).copy()
+    mask = rep_penalty_mask(n, last_tokens, repetition_penalty, sustain, decay)
+    pen = mask != 1.0
+    pos = pen & (l > 0)
+    neg = pen & (l <= 0)
+    l[pos] /= mask[pos]
+    l[neg] *= mask[neg]
+
+    if temperature <= 0:
+        return int(np.argmax(l))
+
+    top_k = min(int(top_k) if top_k > 0 else n, n)
+    idx = np.argpartition(-l, top_k - 1)[:top_k] if top_k < n else np.arange(n)
+    idx = idx[np.argsort(-l[idx], kind="stable")]
+    vals = l[idx]
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+    if top_p < 1.0 and len(probs) > 1:
+        cum = np.cumsum(probs)
+        cut = int(np.searchsorted(cum, top_p, side="left")) + 1
+        cut = min(cut, len(probs))
+        probs = probs[:cut]
+        idx = idx[:cut]
+    vals = vals[: len(idx)] / temperature
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+    return int(idx[_draw(probs, rng)])
+
+
 # ---------------------------------------------------------------------------
 # On-device sampler (used by the fused decode loop, engine.py:decode).
 #

@@ -141,3 +141,51 @@ class LLM(_BaseLLM):
             raise ValueError(f"Model path '{model_path}' doesn't exist.")
         bundle = load_bundle(model_path, context_length=config.context_length)
         self._init_from_bundle(bundle, "gptq")
+
+    def sample(self, **kwargs) -> int:
+        """GPTQ sampling: the reference's GPTQ twin maps the repetition
+        penalty onto ExLlama's DECAYING schedule (gptq/llm.py:174-176:
+        penalty_max=repetition_penalty, sustain=last_n_tokens,
+        decay=last_n_tokens//2) — the penalty fades linearly to 1.0 for
+        tokens older than the sustain window. Extended sampler knobs
+        (mirostat, tfs, ...) fall through to the base chain unchanged."""
+        from ..engine import sampler as samplers
+        from ..llm import get
+
+        extended = any(
+            kwargs.get(k) is not None
+            for k in (
+                "tfs_z", "typical_p", "frequency_penalty",
+                "presence_penalty", "mirostat",
+            )
+        )
+        if extended:
+            return super().sample(**kwargs)
+        cfg = self.config
+        top_k = get(kwargs.get("top_k"), cfg.top_k)
+        top_p = get(kwargs.get("top_p"), cfg.top_p)
+        temperature = get(kwargs.get("temperature"), cfg.temperature)
+        repetition_penalty = get(
+            kwargs.get("repetition_penalty"), cfg.repetition_penalty
+        )
+        last_n = get(kwargs.get("last_n_tokens"), cfg.last_n_tokens)
+        seed = get(kwargs.get("seed"), cfg.seed)
+        if last_n < 0:
+            last_n = self.context_length
+        sustain, decay = last_n, last_n // 2
+        if self._engine.logits is None:
+            return self.eos_token_id
+        return samplers.sample_llama_decayed(
+            self._engine.logits,
+            top_k=top_k,
+            top_p=top_p,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
+            # the decay window extends past the sustain window
+            last_tokens=self._context[-(sustain + decay):] if sustain + decay
+            else [],
+            seed=seed,
+            sustain=sustain,
+            decay=decay,
+            rng=self._rng,
+        )

@@ -1511,6 +1511,7 @@ def _load_shipped_cache() -> None:
     except Exception:
         return
     slug = _SHIPPED_CACHE_BACKENDS.get(kind)
+    exact = slug is not None
     if slug is None:
         # unknown TPU generation: tile shapes still transfer reasonably
         # within the family; use v5e champions as a starting heuristic
@@ -1527,7 +1528,16 @@ def _load_shipped_cache() -> None:
     except Exception:
         return
     for k, v in shipped.items():
-        _TILE_CACHE.setdefault(k, v)
+        if k in _TILE_CACHE:
+            continue
+        _TILE_CACHE[k] = v
+        if not exact:
+            # cross-generation adoption is a HEURISTIC, not a measured
+            # champion: a v5e-raced tile whose VMEM footprint doesn't fit
+            # another generation would otherwise become a permanent cache
+            # hit (never re-raced) and could be persisted to the user
+            # disk cache by a later healthy save. Taint = never persist.
+            _TAINTED_KEYS.add(k)
 
 
 def _save_disk_cache() -> None:

@@ -149,6 +149,7 @@ class BatchScheduler:
             )
         self._chunk_fns = {}
         self._step_fns = {}
+        self._tuned_sizes: set = set()  # prefill chunk sizes already raced
         # prefix reuse: per-slot record of the tokens whose KV rows are
         # resident (kept after a sequence finishes, until slot reuse)
         self.prefix_reuse = prefix_reuse
@@ -387,17 +388,21 @@ class BatchScheduler:
             top = max((int(self.n_past[s]) for s in self.active), default=0)
             hi = max(start[s] + pos + size for s in toks)
             w = round_window(max(top + 1, hi), self.spec.n_ctx)
-            if self.mesh is None:
+            if self.mesh is None and size not in self._tuned_sizes:
                 # race kernel tiles at this chunk's TOKEN count before
                 # tracing (batched prefill flattens to m = slots * size;
                 # the trace-time heuristic cannot reject tiles whose
                 # VMEM footprint only fails at compile time — a 32-slot
-                # x 32-token prefill OOM'd scoped vmem exactly that way)
+                # x 32-token prefill OOM'd scoped vmem exactly that way).
+                # Gated on first-sight of this chunk size: in warm
+                # steady-state serving the autotune call is an
+                # O(param-leaves) tree walk per chunk for zero new keys.
                 from ..ops import qmatmul as qm
 
                 qm.autotune(
                     self.params, batch_sizes=(self.slots * size,)
                 )
+                self._tuned_sizes.add(size)
             logits, _, self.kv = self._step_fn(w)(
                 self.params,
                 jnp.asarray(chunk_tokens),

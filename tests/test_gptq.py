@@ -172,3 +172,81 @@ def test_gptq_routing(tmp_path):
     path = _build_gptq_dir(d)
     llm = AutoModelForCausalLM.from_pretrained(path)
     assert llm.model_type == "gptq"
+
+
+def test_decaying_repetition_penalty_schedule():
+    """The GPTQ twin's decaying penalty (reference gptq/llm.py:174-176):
+    newest `sustain` tokens carry the full factor, then a linear fade to
+    1.0 over `decay` positions, older tokens unpenalized."""
+    from ctransformers_tpu.engine.sampler import rep_penalty_mask
+
+    # distinct tokens, oldest..newest = 0..9
+    mask = rep_penalty_mask(
+        16, list(range(10)), penalty_max=1.5, sustain=2, decay=4
+    )
+    # ages: tok9=0, tok8=1 (sustain) | tok7=2..tok4=5 (decay) | rest
+    assert mask[9] == 1.5 and mask[8] == 1.5
+    np.testing.assert_allclose(mask[7], 1.5 - 0.125)  # first decay step
+    np.testing.assert_allclose(mask[6], 1.5 - 0.250)
+    np.testing.assert_allclose(mask[5], 1.5 - 0.375)
+    np.testing.assert_allclose(mask[4], 1.0)  # fully faded
+    assert all(mask[t] == 1.0 for t in (0, 1, 2, 3))
+    # a repeated token keeps its strongest (most recent) factor
+    mask2 = rep_penalty_mask(16, [5, 0, 1, 5], 1.5, sustain=1, decay=2)
+    assert mask2[5] == 1.5
+
+
+def test_decaying_penalty_affects_sampling():
+    from ctransformers_tpu.engine.sampler import sample_llama_decayed
+
+    logits = np.zeros(8, np.float32)
+    logits[3] = 2.0  # best token
+    logits[5] = 1.9  # runner-up
+    # token 3 recently emitted -> full penalty knocks it below 5
+    tok = sample_llama_decayed(
+        logits, top_k=0, top_p=1.0, temperature=0.0,
+        repetition_penalty=1.3, last_tokens=[3], seed=0,
+        sustain=4, decay=2,
+    )
+    assert tok == 5
+    # same token far in the past (beyond sustain+decay) -> unpenalized
+    tok = sample_llama_decayed(
+        logits, top_k=0, top_p=1.0, temperature=0.0,
+        repetition_penalty=1.3, last_tokens=[3] + [0] * 10, seed=0,
+        sustain=4, decay=2,
+    )
+    assert tok == 3
+
+
+def test_gptq_llm_uses_decayed_penalty(tmp_path):
+    """gptq.LLM.sample routes through the decayed schedule: a token in
+    the DECAY region (older than last_n_tokens but inside
+    last_n + last_n//2) still draws a partial penalty — the base
+    constant-penalty chain never looks past last_n_tokens."""
+    from ctransformers_tpu import gptq
+
+    path = _build_gptq_dir(tmp_path)
+    llm = gptq.LLM(path)
+    llm.eval(llm.tokenize("he"))
+    logits = np.asarray(llm.logits)
+    best = int(np.argmax(logits))
+    assert logits[best] > 0
+    # place `best` at age 4: outside sustain (last_n=4) so the constant
+    # chain ignores it, inside sustain+decay (6) so the decayed one
+    # applies a partial factor big enough to demote it
+    fill = int(np.argmin(logits))  # filler that can't win either way
+    llm._context.extend([best] + [fill] * 4)
+    tok = llm.sample(
+        temperature=0.0, repetition_penalty=1e6, last_n_tokens=4,
+        top_k=0, top_p=1.0,
+    )
+    assert tok != best
+    # the base constant-penalty chain, fed the same last_n window,
+    # still picks `best` (it never sees past last_n_tokens)
+    from ctransformers_tpu.engine.sampler import sample_llama
+
+    base = sample_llama(
+        logits, top_k=0, top_p=1.0, temperature=0.0,
+        repetition_penalty=1e6, last_tokens=llm._context[-4:], seed=0,
+    )
+    assert base == best
