@@ -264,6 +264,10 @@ def resolve_kv_dtype(name):
         None: jnp.float32, "f32": jnp.float32,
         "bf16": jnp.bfloat16, "f16": jnp.bfloat16,
         "int8": jnp.int8,
+        # debug/parity: IEEE half, the reference's literal f16_kv storage
+        # (llama.cpp:913-933) — used by the quality gate to emulate the
+        # CPU engine's KV rounding on near-tie analysis; slow on TPU
+        "ieee_f16": jnp.float16,
     }
     if isinstance(name, str):
         name = name.strip().lower() or None

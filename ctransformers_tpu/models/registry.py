@@ -69,14 +69,28 @@ def load_model(
         mtype = "gguf"  # GGUF magic overrides the requested type
     if mtype not in _LOADERS:
         raise ValueError(f"Model type '{model_type}' is not supported.")
+
+    # repack cache — the reference's mmap analog (llama.cpp:470-798): a
+    # warm load mmaps the previously repacked planes instead of
+    # re-parsing + re-decoding the quant blocks (formats/repack_cache.py)
+    from ..formats import repack_cache
+
+    cached = repack_cache.lookup(model_path, context_length)
+    if cached is not None:
+        if progress_callback is not None:
+            progress_callback(1.0)
+        return cached
+
     module = importlib.import_module(f".{_LOADERS[mtype]}", __package__)
     if progress_callback is not None and (
         "progress_callback" in inspect.signature(module.load_bundle).parameters
     ):
-        return module.load_bundle(
+        bundle = module.load_bundle(
             model_path, context_length, progress_callback=progress_callback
         )
-    bundle = module.load_bundle(model_path, context_length)
-    if progress_callback is not None:
-        progress_callback(1.0)
+    else:
+        bundle = module.load_bundle(model_path, context_length)
+        if progress_callback is not None:
+            progress_callback(1.0)
+    repack_cache.store(model_path, context_length, bundle)
     return bundle

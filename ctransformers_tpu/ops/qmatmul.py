@@ -462,17 +462,41 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
 def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndarray:
     """XLA path: dequantize then matmul. compute_dtype=bfloat16 runs the
     GEMM operands in bf16 (f32 accumulation) for FLOPs-bound prefill."""
-    if os.environ.get("CT_EMULATE_ACTQ") and qt.group == 32:
-        # debug-only (scripts/debug_falcon_parity.py): emulate the
-        # reference CPU engine's activation quantization — ggml rounds x
-        # to Q8_0 blocks (f16 scale d = absmax/127) before every integer
-        # vec_dot (ggml.c:1663-1760), a systematic rounding the exact-f32
-        # dequant matmul here does not have.
-        xr = x.astype(jnp.float32).reshape(x.shape[0], -1, 32)
-        d = jnp.abs(xr).max(-1, keepdims=True) / 127.0
-        d = d.astype(jnp.float16).astype(jnp.float32)
-        xq = jnp.clip(jnp.round(xr / jnp.where(d > 0, d, 1.0)), -127, 127)
-        x = (xq * d).reshape(x.shape[0], -1)
+    if os.environ.get("CT_EMULATE_ACTQ"):
+        # debug-only (scripts/debug_falcon_parity.py, probe_actq_parity):
+        # emulate the reference CPU engine's activation quantization —
+        # ggml rounds x to the weight type's vec_dot_type before every
+        # integer vec_dot (ggml.c:1663-1760), a systematic rounding the
+        # exact-f32 dequant matmul here does not have.
+        m = x.shape[0]
+        if qt.group == 32 and qt.mins is None:
+            # Q8_0 (quantize_row_q8_0, ggml.c): per-32 block, quantized
+            # with the f32 inverse scale, DEQUANTIZED with the f16-stored
+            # scale — that cast is part of the reference numerics
+            xr = x.astype(jnp.float32).reshape(m, -1, 32)
+            d = jnp.abs(xr).max(-1, keepdims=True) / 127.0
+            id = jnp.where(d > 0, 1.0 / d, 0.0)
+            xq = jnp.round(xr * id)
+            d16 = d.astype(jnp.float16).astype(jnp.float32)
+            x = (xq * d16).reshape(m, -1)
+        elif qt.group == 32:
+            # Q8_1 (quantize_row_q8_1): same rounding, f32-stored scale
+            xr = x.astype(jnp.float32).reshape(m, -1, 32)
+            d = jnp.abs(xr).max(-1, keepdims=True) / 127.0
+            id = jnp.where(d > 0, 1.0 / d, 0.0)
+            x = (jnp.round(xr * id) * d).reshape(m, -1)
+        elif x.shape[-1] % 256 == 0:
+            # Q8_K (quantize_row_q8_K, k_quants.c:1100s) — the k-quant
+            # vec_dot_type: per-256 superblock, SIGNED-extreme scale
+            # (iscale = -127/max where max keeps its sign), nearest-int,
+            # upper clamp only, f32 scale
+            xr = x.astype(jnp.float32).reshape(m, -1, 256)
+            idx = jnp.abs(xr).argmax(-1, keepdims=True)
+            mx = jnp.take_along_axis(xr, idx, axis=-1)
+            iscale = jnp.where(mx != 0, -127.0 / mx, 0.0)
+            xq = jnp.minimum(127.0, jnp.round(xr * iscale))
+            d = jnp.where(iscale != 0, 1.0 / iscale, 0.0)
+            x = (xq * d).reshape(m, -1)
     k, n = qt.shape
     kp = qt.qs.shape[0] * (2 if qt.packed else 1)
     if kp != k:

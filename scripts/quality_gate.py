@@ -366,8 +366,8 @@ def parity(f16_path: str) -> dict:
     esc = (" " + prompt).replace(" ", "▁").encode("utf-8")
     toks = [1] + [BYTE0 + b for b in esc]
 
-    def run_child(code):
-        env = dict(os.environ, CT_NO_NATIVE="1")
+    def run_child(code, **extra_env):
+        env = dict(os.environ, CT_NO_NATIVE="1", **extra_env)
         env.pop("JAX_PLATFORMS", None)
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=1200)
@@ -483,6 +483,20 @@ os._exit(0)
             )
         else:
             out[tag] = _tf_verdict(a, b)
+            if path.endswith(".gguf"):
+                # emulated-actq column (VERDICT r04 #4): re-walk with the
+                # reference's activation quantization emulated
+                # (CT_EMULATE_ACTQ, ops/qmatmul.py:_qmm_jnp — Q8_0/Q8_1/
+                # Q8_K rounding before every quantized matmul). If the
+                # residual low-bit divergences are the claimed
+                # activation-rounding difference, this column collapses
+                # them to MATCH; if not, a real engine bug is exposed.
+                a2 = run_child(mine_code, CT_EMULATE_ACTQ="1")
+                out[tag + " emulated_actq"] = (
+                    f"mine: {a2}" if a2.startswith("worker")
+                    else _tf_verdict(a2, b)
+                )
+                print(tag, "emulated_actq", out[tag + " emulated_actq"])
         print(tag, out[tag])
     return out
 
