@@ -50,7 +50,8 @@ def _weight_stream_stats(params):
     def visit(a):
         nonlocal total_b, total_e
         if isinstance(a, qm.QTensor):
-            total_e += a.shape[0] * a.shape[1]
+            # layer-stacked weights hold n_stack layers in one leaf
+            total_e += a.shape[0] * a.shape[1] * a.n_stack
             for arr in (a.qs, a.scales, a.mins, a.sd, a.sm):
                 if arr is not None:
                     total_b += arr.size * arr.dtype.itemsize

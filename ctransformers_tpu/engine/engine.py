@@ -98,21 +98,31 @@ class Engine:
             return a if mesh is not None and multiproc else jnp.asarray(a)
 
         if mesh is None and os.environ.get("CT_BLOB_PLACE", "1") != "0":
-            # fuse on HOST first (numpy concat), then one H2D blob per
-            # layer: per-array placement pays a dispatch round-trip per
-            # array (~1,200 of them for a 7B; measured 31-129 s where the
-            # blob path moves the same bytes in a handful of transfers,
-            # scripts/profile_load.py)
+            # Fast path: fuse + layer-stack in ONE host write pass with
+            # each finished plane's async-chunked upload overlapping the
+            # rest of the assembly (placement.place_stacked_fused — the
+            # wire is the bottleneck at ~25-37 MB/s, so host work rides
+            # under it). Heterogeneous/unstackable models fall back to
+            # host fuse + per-layer blob placement, unrolled forward.
             if isinstance(params, dict):
-                # fuse mutates layer dicts; shallow-copy so the caller's
-                # tree keeps its per-projection layout
+                # shallow-copy so the caller's tree keeps its layout
                 params = dict(params)
                 if isinstance(params.get("layers"), (list, tuple)):
                     params["layers"] = [dict(l) for l in params["layers"]]
-                qm.fuse_layer_params(params)
-            from .placement import blob_place
+            from .placement import blob_place, place_stacked_fused
 
-            self.params = blob_place(params, param_dtype)
+            placed = None
+            if (
+                isinstance(params, dict)
+                and os.environ.get("CT_SCAN_LAYERS", "1") != "0"
+            ):
+                placed = place_stacked_fused(params, param_dtype)
+            if placed is not None:
+                self.params = placed
+            else:
+                if isinstance(params, dict):
+                    qm.fuse_layer_params(params)
+                self.params = blob_place(params, param_dtype)
         else:
             self.params = jax.tree.map(
                 place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
@@ -121,6 +131,8 @@ class Engine:
             # three (per-pallas-call overhead dominates decode)
             if isinstance(self.params, dict):
                 qm.fuse_layer_params(self.params)
+                if mesh is None:
+                    self._maybe_stack(self.params)
         _t1 = time.perf_counter()
         if mesh is not None:
             from ..parallel import mesh as pmesh
@@ -185,6 +197,25 @@ class Engine:
     def hidden(self, value) -> None:
         self._hidden = value
 
+    @staticmethod
+    def _maybe_stack(params: dict) -> None:
+        """Stack homogeneous per-layer params (models/forward.py:
+        stack_layer_params) so forward() runs ONE scanned layer body
+        instead of n_layer unrolled copies — ~10x smaller executables
+        (the unrolled 16-layer prefill program measured 79 MiB, with its
+        first-dispatch program load dominating cold start through the
+        remote runtime). CT_SCAN_LAYERS=0 restores the unrolled path."""
+        if os.environ.get("CT_SCAN_LAYERS", "1") == "0":
+            return
+        layers = params.get("layers")
+        if not isinstance(layers, (list, tuple)):
+            return
+        from ..models.forward import stack_layer_params
+
+        stacked = stack_layer_params(layers)
+        if stacked is not None:
+            params["layers"] = stacked
+
     # -- compiled steps -----------------------------------------------------
 
     def _prewarm_kernels(self, m: int) -> None:
@@ -218,7 +249,7 @@ class Engine:
         for qt in jax.tree_util.tree_leaves(
             self.params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         ):
-            if not isinstance(qt, qm.QTensor):
+            if not isinstance(qt, qm.QTensor) or qt.n_stack > 1:
                 continue
             kp, npad = qt.qs.shape
             key = (

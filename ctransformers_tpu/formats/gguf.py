@@ -191,6 +191,21 @@ class GGUFReader:
             info.numpy_shape
         )
 
+    def tensor_storage(self, name: str) -> np.ndarray:
+        """Float tensor at its FILE precision (f16 stays f16): upcasting
+        a 7B's f16 embedding to f32 doubles its host->device wire bytes
+        (+262 MB) for an upcast the engine performs on device anyway
+        (placement bitcasts then casts post-transfer). Quantized types
+        fall back to f32 dequant."""
+        info = self.tensors[name]
+        if info.type == GGMLType.F16:
+            return (
+                self.tensor_bytes(name)
+                .view("<f2")
+                .reshape(info.numpy_shape)
+            )
+        return self.tensor_f32(name)
+
 
 # -- writer -----------------------------------------------------------------
 

@@ -215,6 +215,58 @@ def block_ffn(spec: ArchSpec, layer: Params, x, ln1, attn_out, ablate=frozenset(
     return x + ff
 
 
+def layer_view(stacked: Params, il) -> Params:
+    """One layer's view of a stacked layer tree: QTensor leaves become
+    QViews (layer index resolved in-kernel, zero-copy), dense leaves are
+    indexed on their stacked leading axis (XLA fuses the gather)."""
+    from ..ops.qmatmul import QTensor, QView
+
+    return {
+        k: QView(v, il) if isinstance(v, QTensor) else v[il]
+        for k, v in stacked.items()
+    }
+
+
+def stack_layer_params(layers) -> Optional[Params]:
+    """Stack a homogeneous per-layer parameter list into one dict whose
+    QTensor leaves are row-stacked (qmatmul layer indexing) and dense
+    leaves gain a leading layer axis. Returns None when the layers are
+    not structurally identical (heterogeneous models keep the unrolled
+    forward path). Host (numpy) inputs stay on host so engine blob
+    placement still sees host arrays."""
+    import numpy as _np
+
+    from ..ops.qmatmul import QTensor, stack_qtensors
+
+    if not isinstance(layers, (list, tuple)) or len(layers) < 2:
+        return None
+    keys = list(layers[0].keys())
+    if any(list(l.keys()) != keys for l in layers[1:]):
+        return None
+    out = {}
+    for k in keys:
+        vals = [l[k] for l in layers]
+        if isinstance(vals[0], QTensor):
+            st = stack_qtensors(vals)
+            if st is None:
+                return None
+            out[k] = st
+        elif all(
+            hasattr(v, "shape") and not isinstance(v, QTensor) for v in vals
+        ):
+            shapes = {tuple(v.shape) for v in vals}
+            dtypes = {_np.asarray(v).dtype for v in vals}
+            if len(shapes) != 1 or len(dtypes) != 1:
+                return None
+            if all(isinstance(v, _np.ndarray) for v in vals):
+                out[k] = _np.stack(vals)
+            else:
+                out[k] = jnp.stack([jnp.asarray(v) for v in vals])
+        else:
+            return None  # mixed / non-array leaf: keep unrolled
+    return out
+
+
 def _seq_slice(hm: bool, upto: int):
     """Index tuple bounding a per-layer cache slab to its first `upto`
     sequence positions under either layout."""
@@ -690,6 +742,8 @@ def forward(
     position is below it."""
     b, t = tokens.shape
     x = params["wte"][tokens]  # (B, T, D)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)  # storage-precision table (f16 wire)
     if spec.learned_pos:
         positions = n_past + jnp.arange(t)
         x = x + params["wpe"][positions][None]
@@ -703,16 +757,43 @@ def forward(
         )
 
     ablate = _ablate()
-    for il, layer in enumerate(params["layers"]):
-        ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        if "qkvo" in ablate:
-            attn_out = ln1
-        else:
-            attn_out, kv = _attention(
-                spec, layer, ln1, n_past, kv, il, angles, attn_window
-            )
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        # layer-stacked params (engine.stack_layer_params): ONE compiled
+        # layer body scanned over the stack instead of n_layer unrolled
+        # copies. The unrolled 16-layer prefill executable measured
+        # 79 MiB with first-dispatch program load the dominant cold-start
+        # cost (~1 MiB/s through the remote runtime); the scanned body is
+        # ~10x smaller. Weight reads stay zero-copy: QTensor planes are
+        # row-stacked and indexed IN-KERNEL (ops/qmatmul.py: QView /
+        # qmatmul(layer=...)).
+        def body(carry, il):
+            x, kv = carry
+            layer = layer_view(layers, il)
+            ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+            if "qkvo" in ablate:
+                attn_out = ln1
+            else:
+                attn_out, kv = _attention(
+                    spec, layer, ln1, n_past, kv, il, angles, attn_window
+                )
+            x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
+            return (x, kv), None
 
-        x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
+        (x, kv), _ = jax.lax.scan(
+            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32)
+        )
+    else:
+        for il, layer in enumerate(layers):
+            ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+            if "qkvo" in ablate:
+                attn_out = ln1
+            else:
+                attn_out, kv = _attention(
+                    spec, layer, ln1, n_past, kv, il, angles, attn_window
+                )
+
+            x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
@@ -722,6 +803,8 @@ def forward(
         logits = jnp.broadcast_to(last[:, :1], (b, spec.n_vocab))
     else:
         head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+        if hasattr(head, "dtype") and head.dtype != jnp.float32:
+            head = head.astype(jnp.float32)
         logits = mm(x if all_logits else last, head)
         if params.get("lm_head_b") is not None:  # gptj.cc lmh_b
             logits = logits + params["lm_head_b"]
@@ -897,6 +980,8 @@ def forward_batched(
     if active is None:
         active = jnp.ones((b,), bool)
     x = params["wte"][tokens]
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)  # storage-precision table (f16 wire)
     positions = n_past[:, None] + jnp.arange(t)[None]  # (B, T)
     if spec.learned_pos:
         x = x + params["wpe"][jnp.clip(positions, 0, spec.n_ctx - 1)]
@@ -912,16 +997,38 @@ def forward_batched(
         angles = flat.reshape(b, t, -1)
 
     ablate = _ablate()
-    for il, layer in enumerate(params["layers"]):
-        ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
-        if "qkvo" in ablate:
-            attn_out = ln1
-        else:
-            attn_out, kv = _attention_batched(
-                spec, layer, ln1, n_past, kv, il, angles, active,
-                attn_window,
-            )
-        x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        # layer-stacked scan body (see forward(); same ~10x program-size
+        # win for the batched serving step)
+        def body(carry, il):
+            x, kv = carry
+            layer = layer_view(layers, il)
+            ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+            if "qkvo" in ablate:
+                attn_out = ln1
+            else:
+                attn_out, kv = _attention_batched(
+                    spec, layer, ln1, n_past, kv, il, angles, active,
+                    attn_window,
+                )
+            x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
+            return (x, kv), None
+
+        (x, kv), _ = jax.lax.scan(
+            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32)
+        )
+    else:
+        for il, layer in enumerate(layers):
+            ln1 = _norm(spec, x, layer["ln1_g"], layer.get("ln1_b"))
+            if "qkvo" in ablate:
+                attn_out = ln1
+            else:
+                attn_out, kv = _attention_batched(
+                    spec, layer, ln1, n_past, kv, il, angles, active,
+                    attn_window,
+                )
+            x = block_ffn(spec, layer, x, ln1, attn_out, ablate)
 
     if spec.final_norm:
         x = _norm(spec, x, params["ln_f_g"], params.get("ln_f_b"))
@@ -930,6 +1037,8 @@ def forward_batched(
         logits = jnp.broadcast_to(last[:, :1], (b, spec.n_vocab))
     else:
         head = params["wte"].T if spec.tied_lm_head else params["lm_head"]
+        if hasattr(head, "dtype") and head.dtype != jnp.float32:
+            head = head.astype(jnp.float32)
         logits = mm(last, head)
         if params.get("lm_head_b") is not None:
             logits = logits + params["lm_head_b"]

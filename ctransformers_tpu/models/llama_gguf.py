@@ -17,6 +17,7 @@ ggml_rope_custom_inplace(..., mode=0); falcon uses neox mode (mode=2).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -80,6 +81,13 @@ def _dense(r: GGUFReader, name: str):
     return r.tensor_f32(name)
 
 
+def _embed(r: GGUFReader, name: str):
+    """Embedding table at FILE precision (f16 stays f16): halves its
+    host->device wire bytes; placement upcasts to f32 ON DEVICE after the
+    transfer (engine/placement.py), bit-identical to a host upcast."""
+    return r.tensor_storage(name)
+
+
 def _split_qkv(r: GGUFReader, name: str, sizes):
     """Split a fused QKV weight by output rows into per-projection weights.
 
@@ -129,6 +137,23 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
 
     n_ctx = context_length if context_length > 0 else n_ctx_train
 
+    # Parallel repack: the per-tensor decode+repack chain is independent
+    # numpy/C work that releases the GIL — a worker pool cuts a 2 GiB
+    # file's host repack ~4x (the reference reaches the same wall-clock
+    # via mmap + multithreaded page-in, llama.cpp:470-798)
+    from concurrent.futures import ThreadPoolExecutor
+
+    nw = int(os.environ.get("CT_LOAD_THREADS", "0")) or min(
+        8, os.cpu_count() or 1
+    )
+    pool = ThreadPoolExecutor(nw) if nw > 1 else None
+
+    def W(name):
+        return pool.submit(_weight, r, name) if pool else _weight(r, name)
+
+    def res(v):
+        return v.result() if hasattr(v, "result") else v
+
     params = {"layers": []}
     if arch == "llama":
         spec = ArchSpec(
@@ -151,28 +176,26 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
             ),
             act="silu_gate",
         )
-        params["wte"] = _dense(r, "token_embd.weight")
+        params["wte"] = _embed(r, "token_embd.weight")
         params["ln_f_g"] = _dense(r, "output_norm.weight")
         params["lm_head"] = (
-            _weight(r, "output.weight")
+            W("output.weight")
             if "output.weight" in r.tensors
             else np.ascontiguousarray(params["wte"].T)  # tied fallback
         )
         for i in range(n_layer):
-            if progress_callback:
-                progress_callback(i / max(1, n_layer))
             p = f"blk.{i}"
             params["layers"].append(
                 {
                     "ln1_g": _dense(r, f"{p}.attn_norm.weight"),
-                    "wq": _weight(r, f"{p}.attn_q.weight"),
-                    "wk": _weight(r, f"{p}.attn_k.weight"),
-                    "wv": _weight(r, f"{p}.attn_v.weight"),
-                    "wo": _weight(r, f"{p}.attn_output.weight"),
+                    "wq": W(f"{p}.attn_q.weight"),
+                    "wk": W(f"{p}.attn_k.weight"),
+                    "wv": W(f"{p}.attn_v.weight"),
+                    "wo": W(f"{p}.attn_output.weight"),
                     "ln2_g": _dense(r, f"{p}.ffn_norm.weight"),
-                    "w_gate": _weight(r, f"{p}.ffn_gate.weight"),
-                    "w_up": _weight(r, f"{p}.ffn_up.weight"),
-                    "w_down": _weight(r, f"{p}.ffn_down.weight"),
+                    "w_gate": W(f"{p}.ffn_gate.weight"),
+                    "w_up": W(f"{p}.ffn_up.weight"),
+                    "w_down": W(f"{p}.ffn_down.weight"),
                 }
             )
     else:  # falcon
@@ -197,10 +220,10 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
             shared_parallel_ln=not has_norm2,
             act="gelu",
         )
-        params["wte"] = _dense(r, "token_embd.weight")
+        params["wte"] = _embed(r, "token_embd.weight")
         params["ln_f_g"] = _dense(r, "output_norm.weight")
         params["ln_f_b"] = _dense(r, "output_norm.bias")
-        params["lm_head"] = _weight(r, "output.weight")
+        params["lm_head"] = W("output.weight")
         sizes = [n_head * head_dim, n_head_kv * head_dim, n_head_kv * head_dim]
         for i in range(n_layer):
             p = f"blk.{i}"
@@ -216,15 +239,23 @@ def load_bundle(path: str, context_length: int = -1, progress_callback=None):
                 "wq": wq,
                 "wk": wk,
                 "wv": wv,
-                "wo": _weight(r, f"{p}.attn_output.weight"),
-                "w_up": _weight(r, f"{p}.ffn_up.weight"),
-                "w_down": _weight(r, f"{p}.ffn_down.weight"),
+                "wo": W(f"{p}.attn_output.weight"),
+                "w_up": W(f"{p}.ffn_up.weight"),
+                "w_down": W(f"{p}.ffn_down.weight"),
             }
             if has_norm2:
                 layer["ln2_g"] = _dense(r, f"{p}.attn_norm.weight")
                 layer["ln2_b"] = _dense(r, f"{p}.attn_norm.bias")
             params["layers"].append(layer)
 
+    params["lm_head"] = res(params["lm_head"])
+    for i, layer in enumerate(params["layers"]):
+        for k in list(layer):
+            layer[k] = res(layer[k])
+        if progress_callback:
+            progress_callback((i + 1) / max(1, len(params["layers"])))
+    if pool is not None:
+        pool.shutdown()
     if progress_callback:
         progress_callback(1.0)
     return ModelBundle(

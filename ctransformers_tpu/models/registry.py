@@ -92,5 +92,5 @@ def load_model(
         bundle = module.load_bundle(model_path, context_length)
         if progress_callback is not None:
             progress_callback(1.0)
-    repack_cache.store(model_path, context_length, bundle)
+    repack_cache.store_async(model_path, context_length, bundle)
     return bundle

@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,13 @@ class QTensor:
     # "row" (input features sharded; matmul needs a psum). Drives the
     # shard_map'd Pallas path under tp_ctx().
     pspec: Optional[str] = None
+    # layer-stacked weight (stack_qtensors): the planes hold n_stack
+    # layers CONCATENATED ALONG THE ROW AXIS (layer l's qs rows are
+    # [l*Kp, (l+1)*Kp)); `shape`/`splits` stay per-layer. qmatmul(...,
+    # layer=l) indexes a layer IN-KERNEL via a scalar-prefetched block
+    # offset — no per-call copy of the layer's planes, and one program
+    # serves every layer (the lax.scan forward path).
+    n_stack: int = 1
 
     def tree_flatten(self):
         return (self.qs, self.scales, self.mins, self.perm, self.sd, self.sm), (
@@ -106,16 +113,18 @@ class QTensor:
             self.sfactor,
             self.pack_layout,
             self.pspec,
+            self.n_stack,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins, perm, sd, sm = children
-        kind, group, shape, packed, zp, splits, sfactor, layout, pspec = aux
+        (kind, group, shape, packed, zp, splits, sfactor, layout, pspec,
+         n_stack) = aux
         return cls(
             qs, scales, mins, kind, group, shape, packed, zp,
             perm=perm, splits=splits, sd=sd, sm=sm, sfactor=sfactor,
-            pack_layout=layout, pspec=pspec,
+            pack_layout=layout, pspec=pspec, n_stack=n_stack,
         )
 
     @property
@@ -129,6 +138,97 @@ class QTensor:
     @property
     def out_features(self) -> int:
         return self.shape[1]
+
+
+def stack_qtensors(qts) -> Optional["QTensor"]:
+    """Stack per-layer QTensors into ONE weight with row-concatenated
+    planes (n_stack = len(qts)). All inputs must share identical static
+    metadata and plane shapes; returns None when they don't (the caller
+    falls back to the unrolled per-layer path). Act-order perms are not
+    stackable (GPTQ act-order models keep per-layer weights)."""
+    head = qts[0]
+    if any(not isinstance(q, QTensor) for q in qts):
+        return None
+    for q in qts:
+        if (
+            q.kind != head.kind
+            or q.group != head.group
+            or q.shape != head.shape
+            or q.packed != head.packed
+            or q.zp != head.zp
+            or q.splits != head.splits
+            or q.sfactor != head.sfactor
+            or q.pack_layout != head.pack_layout
+            or q.pspec is not None
+            or q.perm is not None
+            or q.n_stack != 1
+            or q.qs.shape != head.qs.shape
+            or q.qs.dtype != head.qs.dtype
+        ):
+            return None
+    xp = np if isinstance(head.qs, np.ndarray) else jnp
+
+    def cat(field, pad8=False):
+        vals = [getattr(q, field) for q in qts]
+        if vals[0] is None:
+            return None
+        if pad8 and vals[0].shape[0] % 8:
+            # Pallas block sublane dims must be 8-divisible unless equal
+            # to the whole array — stacking breaks the "whole array"
+            # equality the unstacked sd/sm blocks relied on, so each
+            # layer's factor plane is padded to an 8-row stride (padding
+            # rows are never addressed: kernels index factor rows from
+            # the grid position, bounded by the true row count)
+            pad = 8 - vals[0].shape[0] % 8
+            vals = [
+                xp.concatenate(
+                    [v, xp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                for v in vals
+            ]
+        return xp.concatenate(vals, axis=0)
+
+    return dataclasses.replace(
+        head,
+        qs=cat("qs"),
+        scales=cat("scales"),
+        mins=cat("mins"),
+        sd=cat("sd", pad8=True),
+        sm=cat("sm", pad8=True),
+        n_stack=len(qts),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QView:
+    """One layer's view of a layer-stacked QTensor: `matmul` routes it to
+    qmatmul(x, qt, layer=layer) — the layer index resolves INSIDE the
+    kernel (scalar-prefetched block offset), so a lax.scan over layers
+    reads weight planes straight from the stacked HBM buffer with no
+    per-iteration copy."""
+
+    qt: QTensor
+    layer: Any  # traced int32 scalar
+
+    def tree_flatten(self):
+        return (self.qt, self.layer), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.qt.shape
+
+    @property
+    def splits(self):
+        return self.qt.splits
+
+    @property
+    def ndim(self) -> int:
+        return 2
 
 
 def _int4_ok() -> bool:
@@ -246,24 +346,30 @@ def make_qtensor(
             # encoding needed a second floor chain because i8 wraparound
             # shifted hi by 16).
             q = qp ^ 0x80
-    sdtype = jnp.int8 if sd is not None else jnp.float32
+    # HOST arrays by design: placement is the Engine's job (blob_place
+    # fuses layers into one H2D transfer each; shard_params assembles TP
+    # shards from host values). An eager jnp.asarray here would push every
+    # plane through its own device transfer at load time — and make the
+    # repack cache re-download 2+ GiB just to write .npy sidecars
+    # (measured 169 s vs 21 s host-side on the 2 GiB bench file).
+    sdtype = np.int8 if sd is not None else np.float32
     return QTensor(
-        jnp.asarray(
+        np.asarray(
             q,
-            (jnp.int8 if layout == "adjk" else jnp.uint8)
+            (np.int8 if layout == "adjk" else np.uint8)
             if packed
-            else jnp.int8,
+            else np.int8,
         ),
-        jnp.asarray(s, sdtype),
-        None if m is None else jnp.asarray(m, sdtype),
+        np.asarray(s, sdtype),
+        None if m is None else np.asarray(m, sdtype),
         kind,
         group,
         (k, n),
         packed,
         zp,
-        None if perm is None else jnp.asarray(perm, jnp.int32),
-        sd=None if sd is None else jnp.asarray(sd, jnp.float32),
-        sm=None if sm is None else jnp.asarray(sm, jnp.float32),
+        None if perm is None else np.asarray(perm, np.int32),
+        sd=None if sd is None else np.asarray(sd, np.float32),
+        sm=None if sm is None else np.asarray(sm, np.float32),
         sfactor=sfactor if sd is not None else 0,
         pack_layout=layout,
     )
@@ -393,6 +499,8 @@ def _use_pallas() -> bool:
 
 def matmul(x: jnp.ndarray, w, precision=None) -> jnp.ndarray:
     """x @ w for dense arrays or QTensor weights; x is (..., K)."""
+    if isinstance(w, QView):
+        return qmatmul(x, w.qt, layer=w.layer)
     if not isinstance(w, QTensor):
         return x @ w
     return qmatmul(x, w)
@@ -414,13 +522,37 @@ def _m_cap() -> int:
     return int(os.environ.get("CT_QMM_MAX_M", "1024"))
 
 
-def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+def qmatmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
+    """`layer`: traced int32 index selecting one layer of a stacked
+    QTensor (n_stack > 1, see stack_qtensors). The Pallas path resolves
+    it in-kernel via a scalar-prefetched block offset; the XLA path
+    dynamic-slices the planes."""
     lead = x.shape[:-1]
     k, n = qt.shape
     xm = x.reshape(-1, k)
     if qt.perm is not None:
         xm = xm[:, qt.perm]  # act-order row gather (GPTQ)
+    if qt.n_stack > 1 and layer is None:
+        raise ValueError("stacked QTensor needs a layer index")
+    if layer is not None and qt.n_stack == 1:
+        layer = None  # plain weight: index is vacuous
     on_tpu = _FORCE_JNP_DEPTH == 0 and _tpu_backend()
+    if layer is not None:
+        if (
+            on_tpu
+            and _FORCE != "xla"
+            and _TP_MESH is None
+            and xm.shape[0] <= _m_cap()
+        ):
+            choice = _pick_tiles(xm, qt)
+            if choice != ("xla",):
+                out = _qmm_pallas(xm, qt, choice=choice, layer=layer)
+                return out.reshape(*lead, n)
+        out = _qmm_jnp(
+            xm, _slice_stacked(qt, layer),
+            compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+        return out.reshape(*lead, n)
     if _TP_MESH is not None:
         # tensor-parallel program (engine tp_ctx): weights with a TP
         # partition run the Pallas kernel per shard under shard_map
@@ -457,6 +589,32 @@ def qmatmul(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     else:
         out = _qmm_jnp(xm, qt)
     return out.reshape(*lead, n)
+
+
+def _slice_stacked(qt: QTensor, layer) -> QTensor:
+    """One layer's planes from a stacked QTensor as a plain QTensor
+    (dynamic row slice — XLA fallback; the Pallas path never copies).
+    Factor planes (sd/sm) were padded to an 8-row stride at stacking;
+    the slice trims back to the true per-layer rows."""
+    L = qt.n_stack
+    true_sdr = (
+        None if qt.sd is None
+        else qt.scales.shape[0] // L // max(qt.sfactor, 1)
+    )
+
+    def sl(a, true_rows=None):
+        if a is None:
+            return None
+        rows = a.shape[0] // L
+        out = jax.lax.dynamic_slice_in_dim(a, layer * rows, rows, 0)
+        if true_rows is not None and true_rows != rows:
+            out = out[:true_rows]
+        return out
+
+    return dataclasses.replace(
+        qt, qs=sl(qt.qs), scales=sl(qt.scales), mins=sl(qt.mins),
+        sd=sl(qt.sd, true_sdr), sm=sl(qt.sm, true_sdr), n_stack=1,
+    )
 
 
 def _qmm_jnp(x: jnp.ndarray, qt: QTensor, compute_dtype=jnp.float32) -> jnp.ndarray:
@@ -1589,6 +1747,7 @@ def _qmm_pallas_tiled(
     x, qt: QTensor, tk: int, tn: int, inner: int = 1, interpret=False,
     cd=None, mode: str = "",
     rm: Optional[int] = None,
+    layer=None,  # traced layer index into a stacked QTensor (n_stack > 1)
 ):
     """x: (mp, K_pad) f32. tk tiles the STORAGE rows of qs (packed rows for
     4-bit tensors, where each covers two real K rows); `inner` sub-chunks
@@ -1604,6 +1763,8 @@ def _qmm_pallas_tiled(
     mp = x.shape[0]
     mo = mp  # kernel output rows (grouped modes shrink it to the real m)
     rows, npad = qt.qs.shape
+    rows //= qt.n_stack  # per-layer geometry; specs offset by `layer`
+    sdr = None if qt.sd is None else qt.sd.shape[0] // qt.n_stack
     nk, nn = rows // tk, npad // tn
     g = qt.group
     has_mins = qt.mins is not None
@@ -1617,6 +1778,14 @@ def _qmm_pallas_tiled(
         while inner > 1 and (rk // inner) % (g * sf):
             inner -= 1
         if (rk // inner) % (g * sf):
+            if qt.n_stack > 1:
+                # stacked path never takes the materialize fallback (it
+                # would expand every layer's planes); layer-stacking is
+                # only applied to production-size weights where tiles
+                # align, so this is a config error, not a runtime case
+                raise ValueError(
+                    "stacked QTensor tile cannot align to superblocks"
+                )
             # tile can't align to superblocks (tiny weights): materialize
             # the f32 planes outside the kernel and run unfactored
             sp, mp_ = scale_planes(qt)
@@ -1748,7 +1917,7 @@ def _qmm_pallas_tiled(
             args.append(qt.mins)
         if sf:
             fspec = pl.BlockSpec(
-                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+                (sdr, tn), lambda i, j: (0, i)
             )
             in_specs.append(fspec)
             args.append(qt.sd)
@@ -1782,7 +1951,7 @@ def _qmm_pallas_tiled(
             args.append(qt.mins)
         if sf:
             fspec = pl.BlockSpec(
-                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+                (sdr, tn), lambda i, j: (0, i)
             )
             in_specs.append(fspec)
             args.append(qt.sd)
@@ -1826,7 +1995,7 @@ def _qmm_pallas_tiled(
             # (Mosaic's sublane block floor), so kernels slice rows
             # dynamically from the whole (K_pad/256, TN) plane instead
             fspec = pl.BlockSpec(
-                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+                (sdr, tn), lambda i, j: (0, i)
             )
             in_specs.append(fspec)
             args.append(qt.sd)
@@ -1857,7 +2026,7 @@ def _qmm_pallas_tiled(
         if sf:
             # full-row column block (see packed branch)
             fspec = pl.BlockSpec(
-                (qt.sd.shape[0], tn), lambda i, j: (0, i)
+                (sdr, tn), lambda i, j: (0, i)
             )
             in_specs.append(fspec)
             args.append(qt.sd)
@@ -1866,23 +2035,131 @@ def _qmm_pallas_tiled(
                 args.append(qt.sm)
         kp = rows
 
+    cost = pl.CostEstimate(
+        flops=2 * mo * kp * npad,
+        bytes_accessed=rows * npad + kp // g * npad * 4 + mo * kp * 4,
+        transcendentals=0,
+    )
+    if layer is None:
+        return pl.pallas_call(
+            kernel,
+            grid=(nn, nk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((mo, tn), lambda i, j: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((mo, npad), jnp.float32),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*args)
+
+    # Layer-stacked dispatch: the weight planes hold n_stack layers
+    # row-concatenated; a scalar-prefetched layer index offsets each
+    # plane's ROW-BLOCK index by layer * blocks_per_layer, so the kernel
+    # body (and its tile champions) are untouched and the stacked HBM
+    # buffer is read in place — no per-layer copy, and one compiled
+    # program serves every layer of the lax.scan forward path.
+    from jax.experimental.pallas import tpu as pltpu
+
+    plane_ids = {
+        id(a)
+        for a in (qt.qs, qt.scales, qt.mins, qt.sd, qt.sm)
+        if a is not None
+    }
+
+    def _shifted(old_map, nb):
+        def idx(i, j, l_ref):
+            r, c = old_map(i, j)
+            return (r + l_ref[0] * nb, c)
+
+        return idx
+
+    def _passthrough(old_map):
+        return lambda i, j, l_ref: old_map(i, j)
+
+    new_specs = []
+    for spec, a in zip(in_specs, args):
+        if id(a) in plane_ids:
+            nb = (a.shape[0] // qt.n_stack) // spec.block_shape[0]
+            new_specs.append(
+                pl.BlockSpec(
+                    spec.block_shape, _shifted(spec.index_map, nb)
+                )
+            )
+        else:
+            new_specs.append(
+                pl.BlockSpec(
+                    spec.block_shape, _passthrough(spec.index_map)
+                )
+            )
+    out_spec = pl.BlockSpec((mo, tn), lambda i, j, l_ref: (0, i))
+
+    def kernel_l(l_ref, *refs, _k=kernel):
+        return _k(*refs)
+
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     return pl.pallas_call(
-        kernel,
-        grid=(nn, nk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((mo, tn), lambda i, j: (0, i)),
+        kernel_l,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nn, nk),
+            in_specs=new_specs,
+            out_specs=out_spec,
+        ),
         out_shape=jax.ShapeDtypeStruct((mo, npad), jnp.float32),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mo * kp * npad,
-            bytes_accessed=rows * npad + kp // g * npad * 4 + mo * kp * 4,
-            transcendentals=0,
-        ),
-    )(*args)
+        cost_estimate=cost,
+    )(lidx, *args)
 
 
 def _pick_tiles(x, qt: QTensor):
     _load_shipped_cache()
+    if qt.n_stack > 1:
+        # layer-stacked weight: tile geometry (and therefore the cache
+        # key and champion) is PER-LAYER — identical to the unstacked
+        # weight's, so champions transfer both ways. Eager calls race on
+        # layer 0's planes; traced calls only need the key lookup.
+        if not isinstance(x, jax.core.Tracer):
+            rows = qt.qs.shape[0] // qt.n_stack
+
+            def head(a, r):
+                return None if a is None else a[:r]
+
+            qt = dataclasses.replace(
+                qt,
+                qs=head(qt.qs, rows),
+                scales=head(qt.scales, qt.scales.shape[0] // qt.n_stack),
+                mins=head(
+                    qt.mins,
+                    None if qt.mins is None
+                    else qt.mins.shape[0] // qt.n_stack,
+                ),
+                sd=head(
+                    qt.sd,
+                    None if qt.sd is None
+                    # true per-layer factor rows (stacking pads to 8)
+                    else qt.scales.shape[0] // qt.n_stack
+                    // max(qt.sfactor, 1),
+                ),
+                sm=head(
+                    qt.sm,
+                    None if qt.sm is None
+                    else qt.scales.shape[0] // qt.n_stack
+                    // max(qt.sfactor, 1),
+                ),
+                n_stack=1,
+            )
+        else:
+            key = (
+                qt.qs.shape[0] // qt.n_stack, qt.qs.shape[1], qt.group,
+                qt.mins is not None, x.shape[0], qt.packed, qt.sfactor,
+                qt.pack_layout,
+            )
+            if key in _TILE_CACHE:
+                return _TILE_CACHE[key]
+            cands = _tile_candidates(
+                qt.qs.shape[0] // qt.n_stack, qt.qs.shape[1], qt.packed,
+                qt.pack_layout, mp=_round_up(x.shape[0], _SUBLANE),
+            )
+            return cands[min(1, len(cands) - 1)]
     m_real = x.shape[0]
     mp = _round_up(m_real, _SUBLANE)
     kp, npad = qt.qs.shape  # storage rows (packed rows for 4-bit)
@@ -2114,10 +2391,12 @@ def _pick_tiles(x, qt: QTensor):
 
 
 def _qmm_pallas(
-    x: jnp.ndarray, qt: QTensor, interpret: bool = False, choice=None
+    x: jnp.ndarray, qt: QTensor, interpret: bool = False, choice=None,
+    layer=None,
 ):
     k, n = qt.shape
     rows, npad = qt.qs.shape
+    rows //= qt.n_stack  # per-layer storage rows
     kp = rows * 2 if qt.packed else rows
     m = x.shape[0]
     mp = _round_up(m, _SUBLANE)
@@ -2138,7 +2417,8 @@ def _qmm_pallas(
             )[0]
         tk, tn, inner, mode = choice
     out = _qmm_pallas_tiled(
-        x, qt, tk, tn, inner, interpret=interpret, mode=mode, rm=m
+        x, qt, tk, tn, inner, interpret=interpret, mode=mode, rm=m,
+        layer=layer,
     )
     return out[:m, :n]
 
@@ -2177,7 +2457,8 @@ def autotune(tree, batch_sizes=(1, 8), tp: int = 1) -> None:
             if qt is None:
                 continue
         for m in batch_sizes:
-            kp, npad = qt.qs.shape
+            kp = qt.qs.shape[0] // qt.n_stack  # per-layer storage rows
+            npad = qt.qs.shape[1]
             key = (
                 kp, npad, qt.group, qt.mins is not None, m, qt.packed,
                 qt.sfactor, qt.pack_layout,
@@ -2462,7 +2743,10 @@ def fuse_layer_params(params) -> int:
     """Fuse wq/wk/wv -> w_qkv and w_gate/w_up -> w_gateup in place where
     compatible. Returns the number of fused groups created."""
     n = 0
-    for layer in params.get("layers", []):
+    layers = params.get("layers", [])
+    if isinstance(layers, dict):
+        return 0  # already layer-stacked (fusion happened before)
+    for layer in layers:
         if all(k in layer for k in ("wq", "wk", "wv")) and "w_qkv" not in layer:
             fused = concat_qtensors([layer["wq"], layer["wk"], layer["wv"]])
             if fused is not None:

@@ -114,6 +114,12 @@ class BatchScheduler:
         self.params = jax.tree.map(
             place, params, is_leaf=lambda a: isinstance(a, qm.QTensor)
         )
+        if mesh is None and isinstance(self.params, dict):
+            # layer-stacked scan body: ~10x smaller step executables
+            # (see Engine._maybe_stack); TP keeps the unrolled path
+            from ..engine.engine import Engine
+
+            Engine._maybe_stack(self.params)
         self.slots = batch_slots
         self._multiproc = multiproc
         self.kv = KVCache.create(spec, batch_slots, kv_dtype)

@@ -16,6 +16,7 @@ from ctransformers_tpu.models.registry import load_model
 def cache_env(tmp_path, monkeypatch):
     monkeypatch.setenv("CT_REPACK_CACHE", str(tmp_path / "cache"))
     monkeypatch.setenv("CT_REPACK_CACHE_MIN", "0")
+    monkeypatch.setenv("CT_REPACK_CACHE_SYNC", "1")
     return tmp_path
 
 
