@@ -205,12 +205,21 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": round(1.0 / d_s / BASELINE_TOK_S, 2),
                 "sol_pct": round(100.0 / d_s / sol_tok_s, 1),
+                "weight_gb_s": round(wbytes / d_s / 1e9, 1),
             })
         )
     except Exception as e:  # pragma: no cover - bench-only guard
         print(f"# honest decode failed: {e!r}", file=sys.stderr)
 
     if mode == "both":
+        # GPTQ4 perf rider (VERDICT r04 #7): the reference's GPTQ twin is
+        # its *fast* engine (ExLlama); ours gets a measured line, not
+        # just parity tests
+        if kind == "q4_k" and os.environ.get("BENCH_GPTQ", "1") != "0":
+            try:
+                bench_gptq(n_ctx)
+            except Exception as e:  # pragma: no cover - bench-only guard
+                print(f"# gptq bench failed: {e!r}", file=sys.stderr)
         # batched-serving headline next; the parsed single-stream
         # headline stays the LAST line
         try:
@@ -231,6 +240,63 @@ def main():
             }
         )
     )
+
+
+def bench_gptq(n_ctx: int, prompt_len: int = 128) -> None:
+    """GPTQ4 performance rider (VERDICT r04 #7): synthetic llama-7B with
+    GPTQ-for-LLaMa 4-bit weights (group 128, desc_act=False — the ExLlama
+    fast-path config; act-order parity is covered by tests/test_gptq.py)
+    through the SAME Engine/packed-nibble kernel path as the Q4_K
+    headline. Emits decode+prefill compute lines so the GPTQ backend has
+    a measured performance story. Reference twin:
+    /root/reference/ctransformers/gptq/llm.py (ExLlama CUDA)."""
+    import gc
+
+    from ctransformers_tpu.engine.engine import Engine
+    from ctransformers_tpu.models.synthetic import LLAMA_7B
+
+    spec = LLAMA_7B.replace(n_ctx=n_ctx)
+    t0 = time.time()
+    params = _cached_params(spec, "gptq4")
+    engine = Engine(spec, params, kv_dtype=_kv_dtype())
+    toks = [(11 * i + 5) % spec.n_vocab for i in range(prompt_len)]
+    engine.eval(toks)
+    engine.decode(32, temperature=0.0, repetition_penalty=1.0)
+    print(f"# gptq4 build+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    hbm_gbps, peak_tflops = _hw_limits()
+    wbytes, welems = _weight_stream_stats(engine.params)
+    sol_tok_s = hbm_gbps * 1e9 / wbytes
+    try:
+        d_s = _honest_decode(engine, prompt_len, n1=16, n2=64)
+        print(
+            json.dumps({
+                "metric": "llama7b_gptq4_decode_compute",
+                "value": round(1.0 / d_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(1.0 / d_s / BASELINE_TOK_S, 2),
+                "sol_pct": round(100.0 / d_s / sol_tok_s, 1),
+                "weight_gb_s": round(wbytes / d_s / 1e9, 1),
+            })
+        )
+    except Exception as e:  # pragma: no cover - bench-only guard
+        print(f"# gptq honest decode failed: {e!r}", file=sys.stderr)
+    try:
+        pf_s = _honest_prefill(engine, prompt_len)
+        mfu = prompt_len / pf_s * 2.0 * welems / (peak_tflops * 1e12)
+        print(
+            json.dumps({
+                "metric": "llama7b_gptq4_prefill_compute",
+                "value": round(prompt_len / pf_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(prompt_len / pf_s / BASELINE_TOK_S, 2),
+                "mfu_pct": round(100 * mfu, 1),
+            })
+        )
+    except Exception as e:  # pragma: no cover - bench-only guard
+        print(f"# gptq honest prefill failed: {e!r}", file=sys.stderr)
+    del engine, params
+    gc.collect()
 
 
 def _honest_prefill(engine, m: int, reps: int = 8) -> float:

@@ -51,6 +51,18 @@ def random_qtensor(rng, k: int, n: int, kind: str, scale: float = 0.02):
 
     from ..ops.qmatmul import _PACK4_ZP
 
+    if kind.upper() == "GPTQ4":
+        # GPTQ-for-LLaMa 4-bit, group 128, desc_act=False (the ExLlama
+        # fast-path config; act-order correctness is covered by
+        # tests/test_gptq.py parity vs gptq_dequant). Same packed-nibble
+        # kernel path as Q4_K: q in [0,16), s = scales, m = -s*zeros
+        # (formats/gptq.py:gptq_to_qtensor).
+        group = 128
+        q = rng.randint(0, 16, size=(k, n), dtype=np.int8)
+        s = (rng.rand(k // group, n).astype(np.float32) + 0.5) * scale / 4
+        zeros = rng.randint(0, 16, size=(k // group, n)).astype(np.float32)
+        m = -(s * zeros)
+        return make_qtensor(q, s, m, "GPTQ4", group)
     t = GGMLType[kind.upper()]
     # probe the format's group size / min-plane / factor-plane structure
     probe = q_encode(np.zeros(256, np.float32), t)

@@ -250,3 +250,39 @@ def test_gptq_llm_uses_decayed_penalty(tmp_path):
         repetition_penalty=1e6, last_tokens=llm._context[-4:], seed=0,
     )
     assert base == best
+
+
+def test_synthetic_gptq4_qtensor_matmul():
+    """random_qtensor('gptq4') (the bench's synthetic 7B building block,
+    bench.py:bench_gptq) is a valid GPTQ4 QTensor: the quantized matmul
+    matches a dense matmul against its own dequantization, and the
+    layer-stacked path accepts it (desc_act=False checkpoints stack)."""
+    rng = np.random.RandomState(7)
+    from ctransformers_tpu.models.synthetic import random_qtensor
+
+    k, n, m = 256, 256, 3
+    qt = random_qtensor(rng, k, n, kind="gptq4", scale=0.02)
+    assert qt.kind == "GPTQ4" and qt.group == 128
+    wd = np.asarray(qm.dequantize_qtensor(qt))
+    x = (rng.randn(m, k) * 0.5).astype(np.float32)
+    out = np.asarray(qm._qmm_jnp(x, qt))
+    np.testing.assert_allclose(out, x @ wd, atol=2e-4, rtol=2e-4)
+    got = np.asarray(qm._qmm_pallas(x, qt, interpret=True))
+    np.testing.assert_allclose(got, x @ wd, atol=2e-4, rtol=2e-4)
+
+
+def test_synthetic_gptq4_stacks():
+    """GPTQ4 QTensors without act-order perms are layer-stackable (the
+    scan-forward megakernel path, ops/qmatmul.py:stack_qtensors)."""
+    rng = np.random.RandomState(8)
+    from ctransformers_tpu.models.synthetic import random_qtensor
+
+    k, n = 256, 256
+    qts = [random_qtensor(rng, k, n, kind="gptq4") for _ in range(2)]
+    stacked = qm.stack_qtensors(qts)
+    assert stacked.n_stack == 2
+    x = (rng.randn(1, k) * 0.5).astype(np.float32)
+    for i, qt in enumerate(qts):
+        wd = np.asarray(qm.dequantize_qtensor(qt))
+        out = np.asarray(qm.qmatmul(x, stacked, layer=i))
+        np.testing.assert_allclose(out, x @ wd, atol=2e-4, rtol=2e-4)
