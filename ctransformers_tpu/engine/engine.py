@@ -164,7 +164,7 @@ class Engine:
 
             self.kv = pmesh.shard_kv(self.kv, spec, mesh)
         self.n_past = 0
-        self.logits: Optional[np.ndarray] = None  # (V,) last-token logits
+        self._logits_host: Optional[np.ndarray] = None  # (V,) host copy
         self._hidden = None  # (D,) last hidden state (device array or np)
         self._logits_dev = None  # device twin of logits (upload-skip)
         self._logits_snap: Optional[np.ndarray] = None
@@ -182,6 +182,23 @@ class Engine:
         self.n_eval = 0
         self.n_sample = 0
         self.n_compile = 0
+
+    @property
+    def logits(self) -> Optional[np.ndarray]:
+        """(V,) last-token logits, writable (edits must affect sampling —
+        reference tests/test_model.py). Fetched from device LAZILY like
+        `hidden`: the eager per-eval copy cost a second ~30 ms D2H
+        round-trip through the dispatch tunnel per prefill, and the fused
+        decode path samples on device without ever reading the host
+        copy (TTFT lever, VERDICT r04 #5)."""
+        if self._logits_host is None and self._logits_dev is not None:
+            self._logits_host = np.array(self._logits_dev, np.float32)
+            self._logits_snap = self._logits_host.copy()
+        return self._logits_host
+
+    @logits.setter
+    def logits(self, value) -> None:
+        self._logits_host = value
 
     @property
     def hidden(self) -> Optional[np.ndarray]:
@@ -363,9 +380,13 @@ class Engine:
             pos += size
         # writable host copies: the public API exposes logits as a mutable
         # view whose edits must affect sampling (reference tests/test_model.py)
-        self.logits = np.array(logits[0], np.float32)
+        # block without downloading: the timer must charge device compute
+        # (async dispatch returns at enqueue), but the 128 KB logits D2H
+        # round-trip is deferred until someone actually reads .logits
+        logits.block_until_ready()
         self._logits_dev = logits[0]
-        self._logits_snap = self.logits.copy()
+        self._logits_host = None  # lazy D2H (see the `logits` property)
+        self._logits_snap = None
         self.hidden = hidden[0]  # lazy D2H (see the `hidden` property)
         self.n_past = n_past + len(tokens)
         dt_us = int((_time.perf_counter() - t0) * 1e6)
@@ -475,7 +496,7 @@ class Engine:
         key so successive segments never repeat a sample stream); default
         derives one from `seed`.
         """
-        if self.logits is None:
+        if self._logits_dev is None and self._logits_host is None:
             raise RuntimeError("decode() requires a prior eval()")
         n = min(n, self.spec.n_ctx - self.n_past)
         if n <= 0:
@@ -501,9 +522,14 @@ class Engine:
         # sampling — test_model.py semantics — so a cheap equality check
         # against the snapshot gates the fast path)
         logits_op = None
-        if self._logits_dev is not None and self._logits_snap is not None:
-            if np.array_equal(self._logits_snap, self.logits):
-                logits_op = self._logits_dev
+        if self._logits_dev is not None and (
+            self._logits_host is None  # never downloaded -> untouched
+            or (
+                self._logits_snap is not None
+                and np.array_equal(self._logits_snap, self._logits_host)
+            )
+        ):
+            logits_op = self._logits_dev
         if logits_op is None:
             logits_op = jnp.asarray(self.logits)
         aux = np.empty(1 + last.size, np.int32)
@@ -515,8 +541,9 @@ class Engine:
         self.n_past += n
         arr = np.asarray(packed)  # single D2H round-trip
         self._logits_dev = packed[: arr.size - n]
-        self.logits = np.array(arr[: arr.size - n], np.float32)
-        self._logits_snap = self.logits.copy()
+        # host copy is free here: arr already crossed in the packed D2H
+        self._logits_host = np.array(arr[: arr.size - n], np.float32)
+        self._logits_snap = self._logits_host.copy()
         out = [int(t) for t in arr[arr.size - n :].view(np.int32)]
         dt_us = int((_time.perf_counter() - t0) * 1e6)
         if compiled:
