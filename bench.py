@@ -104,6 +104,8 @@ def main():
         except Exception as e:  # pragma: no cover - bench-only guard
             print(f"# real-file bench failed: {e!r}", file=sys.stderr)
 
+    if mode == "gptq":
+        return bench_gptq(n_ctx)
     spec = LLAMA_7B.replace(n_ctx=n_ctx)
     t0 = time.time()
     params = _cached_params(spec, kind)
