@@ -37,6 +37,23 @@ from .spec import ArchSpec
 Params = Dict[str, Any]
 
 
+def _scan_unroll(n_layer: int) -> int:
+    """Layer-scan unroll factor (CT_SCAN_UNROLL). A lax.scan's iterations
+    execute strictly in sequence, so unroll=1 forfeits the cross-layer
+    DMA/compute overlap XLA's scheduler gave the old fully-unrolled
+    forward (measured: B=1 decode 120.4 -> 86.7 tok/s when the stacked
+    scan landed). Unrolling k bodies inside the loop restores the overlap
+    within each group while the program stays n_layer/k-times smaller
+    than full unroll. Snapped down to a divisor of n_layer."""
+    import os
+
+    u = int(os.environ.get("CT_SCAN_UNROLL", "4"))
+    u = max(1, min(u, n_layer))
+    while n_layer % u:
+        u -= 1
+    return u
+
+
 def _ablate() -> frozenset:
     """Profiling-only component ablation for the batched step, read at
     TRACE time from CT_ABLATE (comma set). Production default is empty =
@@ -781,7 +798,8 @@ def forward(
             return (x, kv), None
 
         (x, kv), _ = jax.lax.scan(
-            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32)
+            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32),
+            unroll=_scan_unroll(spec.n_layer),
         )
     else:
         for il, layer in enumerate(layers):
@@ -1016,7 +1034,8 @@ def forward_batched(
             return (x, kv), None
 
         (x, kv), _ = jax.lax.scan(
-            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32)
+            body, (x, kv), jnp.arange(spec.n_layer, dtype=jnp.int32),
+            unroll=_scan_unroll(spec.n_layer),
         )
     else:
         for il, layer in enumerate(layers):
