@@ -50,6 +50,15 @@ def build():
     except Exception:
         params = random_params(spec, seed=0, quantize="q4_k", exact=False)
     qm.fuse_layer_params(params)
+    if os.environ.get("CT_SCAN_LAYERS", "1") != "0":
+        # layer-stack like the production Engine does (engine._maybe_stack);
+        # tracing the K-chunk scan over the UNROLLED 32-layer forward took
+        # >18 min through the remote-compile path (r05)
+        from ctransformers_tpu.models.forward import stack_layer_params
+
+        stacked = stack_layer_params(params["layers"])
+        if stacked is not None:
+            params["layers"] = stacked
     qm.autotune(params, batch_sizes=(SLOTS,))
     print(f"# params+autotune {time.time()-t0:.0f}s", file=sys.stderr)
     return spec, params
