@@ -38,16 +38,17 @@ Params = Dict[str, Any]
 
 
 def _scan_unroll(n_layer: int) -> int:
-    """Layer-scan unroll factor (CT_SCAN_UNROLL). A lax.scan's iterations
-    execute strictly in sequence, so unroll=1 forfeits the cross-layer
-    DMA/compute overlap XLA's scheduler gave the old fully-unrolled
-    forward (measured: B=1 decode 120.4 -> 86.7 tok/s when the stacked
-    scan landed). Unrolling k bodies inside the loop restores the overlap
-    within each group while the program stays n_layer/k-times smaller
-    than full unroll. Snapped down to a divisor of n_layer."""
+    """Layer-scan unroll factor (CT_SCAN_UNROLL, default 1). Raced on
+    v5e B=1 llama-7B Q4_K decode with the fused layer-window KV slice
+    (scripts/probe_scan_unroll.py, r05): unroll=1 139.9 tok/s, unroll=4
+    132.1, unroll=8/16 no better — the scan body already overlaps its
+    own DMA/compute, and unrolling only grows the program. (The original
+    86.7 tok/s regression that motivated this knob was the full-slab KV
+    materialization, fixed in _layer_slab, not scan sequencing.)
+    Snapped down to a divisor of n_layer."""
     import os
 
-    u = int(os.environ.get("CT_SCAN_UNROLL", "4"))
+    u = int(os.environ.get("CT_SCAN_UNROLL", "1"))
     u = max(1, min(u, n_layer))
     while n_layer % u:
         u -= 1
@@ -363,6 +364,26 @@ def _attn_prec(cdt):
     )
 
 
+def _layer_slab(arr, il, s_axis, w):
+    """One layer's cache window via a SINGLE dynamic_slice on the stacked
+    (L, ...) buffer. `arr[il]` under a traced il (the lax.scan layer
+    body) materializes the FULL n_ctx slab per layer before any window
+    slicing — measured +3.7 ms/tok of attention cost on B=1 llama-7B
+    Q4_K decode (scripts/probe_scan_ablate.py, r05: attnmath delta 5.18
+    vs the unrolled path's 1.41). One dynamic_slice with the window
+    baked into the slice sizes reads only the live bucket. `s_axis` is
+    the seq axis of the PER-LAYER array (arr carries a leading L axis in
+    front of it); `w` None keeps the full sequence."""
+    if arr is None:
+        return None
+    starts = (il,) + (0,) * (arr.ndim - 1)
+    sizes = list(arr.shape)
+    sizes[0] = 1
+    if w is not None:
+        sizes[s_axis + 1] = min(w, sizes[s_axis + 1])
+    return jax.lax.dynamic_slice(arr, starts, sizes)[0]
+
+
 def _attention(
     spec: ArchSpec,
     layer: Params,
@@ -433,23 +454,19 @@ def _attention(
         if layer.get("bo") is not None:
             out = out + layer["bo"]
         return out, kv
-    k_cache = kv.k[il]
-    v_cache = kv.v[il]
-    k_scale = kv.ks[il] if quant else None
-    v_scale = kv.vs[il] if quant else None
     s_axis = 2 if hm else 1
     chunked = _use_chunked_attention(spec, t)
-    if window is not None and window < k_cache.shape[s_axis]:
+    s_full = kv.k.shape[s_axis + 1]
+    w = None
+    if window is not None and window < s_full:
+        w = window
         if chunked:  # the chunked path reshapes by its chunk size
             c = _attn_chunk()
-            window = min(-(-window // c) * c, k_cache.shape[s_axis])
-        if window < k_cache.shape[s_axis]:
-            sl = _seq_slice(hm, window)
-            k_cache = k_cache[sl]
-            v_cache = v_cache[sl]
-            if quant:
-                k_scale = k_scale[sl]
-                v_scale = v_scale[sl]
+            w = min(-(-window // c) * c, s_full)
+    k_cache = _layer_slab(kv.k, il, s_axis, w)
+    v_cache = _layer_slab(kv.v, il, s_axis, w)
+    k_scale = _layer_slab(kv.ks, il, s_axis, w) if quant else None
+    v_scale = _layer_slab(kv.vs, il, s_axis, w) if quant else None
 
     if chunked:
         ctx = _chunked_scores(spec, q, k_cache, v_cache, n_past, k_scale, v_scale)
@@ -899,15 +916,14 @@ def _attention_batched(
             out = out + layer["bo"]
         return out, kv
 
-    kf, vf = kv.k[il], kv.v[il]
-    ksf = kv.ks[il] if quant else None
-    vsf = kv.vs[il] if quant else None
     s_axis = 2 if hm else 1
-    if window is not None and window < kf.shape[s_axis]:
-        sl = _seq_slice(hm, window)
-        kf, vf = kf[sl], vf[sl]
-        if quant:
-            ksf, vsf = ksf[sl], vsf[sl]
+    w = None
+    if window is not None and window < kv.k.shape[s_axis + 1]:
+        w = window
+    kf = _layer_slab(kv.k, il, s_axis, w)
+    vf = _layer_slab(kv.v, il, s_axis, w)
+    ksf = _layer_slab(kv.ks, il, s_axis, w) if quant else None
+    vsf = _layer_slab(kv.vs, il, s_axis, w) if quant else None
     s = kf.shape[s_axis]
     cdt = jnp.bfloat16 if quant else kf.dtype
     if hkv != h:
