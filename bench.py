@@ -64,12 +64,14 @@ def _weight_stream_stats(params):
     return total_b, total_e
 
 
-def _kv_dtype(default: str = "bf16"):
-    """BENCH_KV: bf16 | int8 | f32. Defaults: bf16 single-stream, int8 for
-    the batched bench — the 2026-08-19 healthy-device A/B
-    (docs/AB_attention_r02.txt) has int8 attention at 92.4 us/layer vs
-    bf16's 117.5 at B=8 (KV reads dominate there), while at B=1 bf16
-    still wins (19.4 vs 22.8)."""
+def _kv_dtype(default: str = "f32"):
+    """BENCH_KV: bf16 | int8 | f32. Defaults: f32 single-stream (the
+    Engine default; r05 probe_scan_ablate — reading a bf16 cache at m=1
+    costs ~2.9 ms/tok of VPU relayout on v5e, f32 decodes 140 vs 103
+    tok/s), int8 for the batched bench (KV memory dominates at 32 slots).
+    A bf16-KV prefill line rides along for the MXU-path prefill number
+    (bf16 prefill attention is ~18% faster; each line carries its `kv`
+    field)."""
     import jax.numpy as jnp
 
     kinds = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": jnp.float32}
@@ -158,22 +160,37 @@ def main():
     # profile: 20.97 ms true vs 79 ms wall for the same 128 tokens)
     hbm_gbps, peak_tflops = _hw_limits()
     wbytes, welems = _weight_stream_stats(engine.params)
-    try:
-        pf_s = _honest_prefill(engine, prompt_len)
-        # MFU: achieved bf16 FLOP rate / peak (matmul weights enter one
-        # MAC per token each; attention FLOPs excluded = conservative)
-        mfu = prompt_len / pf_s * 2.0 * welems / (peak_tflops * 1e12)
-        print(
-            json.dumps({
-                "metric": "llama7b_q4k_prefill_compute",
-                "value": round(prompt_len / pf_s, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(prompt_len / pf_s / BASELINE_TOK_S, 2),
-                "mfu_pct": round(100 * mfu, 1),
-            })
-        )
-    except Exception as e:  # pragma: no cover - bench-only guard
-        print(f"# honest prefill failed: {e!r}", file=sys.stderr)
+    # engine-config prefill + a bf16-KV prefill line: bf16 caches keep
+    # prefill attention on the single-pass bf16 MXU path (57.6% MFU vs
+    # 48.7% with the f32 parity-precision cache), while decode prefers
+    # f32 (see _kv_dtype). Both are real serving configs; `kv` labels.
+    kv_variants = [(None, engine.kv_dtype)]
+    import jax.numpy as jnp_
+
+    if engine.kv_dtype != jnp_.bfloat16:
+        kv_variants.append(("bf16", jnp_.bfloat16))
+    for kv_name, kvd in kv_variants:
+        try:
+            pf_s = _honest_prefill(engine, prompt_len, kv_dtype=kvd)
+            # MFU: achieved bf16 FLOP rate / peak (matmul weights enter
+            # one MAC per token each; attention FLOPs excluded =
+            # conservative)
+            mfu = prompt_len / pf_s * 2.0 * welems / (peak_tflops * 1e12)
+            suffix = f"_{kv_name}kv" if kv_name else ""
+            print(
+                json.dumps({
+                    "metric": f"llama7b_q4k_prefill_compute{suffix}",
+                    "value": round(prompt_len / pf_s, 1),
+                    "unit": "tokens/s",
+                    "vs_baseline": round(
+                        prompt_len / pf_s / BASELINE_TOK_S, 2
+                    ),
+                    "mfu_pct": round(100 * mfu, 1),
+                    "kv": kv_name or str(jnp_.dtype(kvd)),
+                })
+            )
+        except Exception as e:  # pragma: no cover - bench-only guard
+            print(f"# honest prefill failed: {e!r}", file=sys.stderr)
 
     # rewind so the timed run repeats the SAME (n, attention-window)
     # program — without this the second call crosses into the next
@@ -301,10 +318,12 @@ def bench_gptq(n_ctx: int, prompt_len: int = 128) -> None:
     gc.collect()
 
 
-def _honest_prefill(engine, m: int, reps: int = 8) -> float:
+def _honest_prefill(engine, m: int, reps: int = 8, kv_dtype=None) -> float:
     """True seconds per m-token prefill chunk: scan-repeated forward with
     the KV cache carried (serializes iterations), marginal 1x-vs-4x slope
-    so the flat per-dispatch tunnel round-trip cancels."""
+    so the flat per-dispatch tunnel round-trip cancels. `kv_dtype`
+    overrides the engine's cache dtype (the loop builds its own fresh
+    cache, so the prefill number for another serving config is free)."""
     import time
 
     import jax
@@ -315,7 +334,9 @@ def _honest_prefill(engine, m: int, reps: int = 8) -> float:
 
     spec = engine.spec
     tokens = jnp.zeros((engine.batch, m), jnp.int32)
-    kv = KVCache.create(spec, batch=engine.batch, dtype=engine.kv_dtype)
+    kv = KVCache.create(
+        spec, batch=engine.batch, dtype=kv_dtype or engine.kv_dtype
+    )
 
     def make_loop(nwork):
         def run(pp, kv0):

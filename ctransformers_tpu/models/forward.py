@@ -622,6 +622,11 @@ def _full_scores(spec, q, k_cache, v_cache, n_past, k_scale=None, v_scale=None):
     kf, vf = k_cache, v_cache
     quant = k_scale is not None
     hm = kv_head_major()
+    # NB (r05 probe_scan_ablate): a bf16 cache decodes ~2.9 ms/tok slower
+    # than f32 at B=1 regardless of the einsum compute dtype (computing
+    # in f32 over bf16 storage measured the same 9.8 ms/tok) — the cost
+    # is in reading/relayouting the bf16 slab itself, so the engine's
+    # B=1 default cache stays f32 (bench.py:_kv_dtype).
     cdt = jnp.bfloat16 if quant else kf.dtype
     head_axis = 1 if hm else 2
     if hkv != h:

@@ -20,19 +20,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ABLATIONS = ["", "kvwrite", "attnmath", "qkvo", "mlp", "head"]
+ABLATIONS = [
+    a for a in os.environ.get(
+        "CT_PROBE_ABLATIONS", ",kvwrite,attnmath,qkvo,mlp,head"
+    ).split(",")
+]
 
 
 def main():
     os.environ.setdefault("CT_SCAN_UNROLL", "1")
+    import jax.numpy as jnp
+
     from bench import _cached_params, _honest_decode
     from ctransformers_tpu.engine.engine import Engine
     from ctransformers_tpu.models.synthetic import LLAMA_7B
 
+    kvd = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[
+        os.environ.get("CT_PROBE_KV", "f32")
+    ]
     spec = LLAMA_7B.replace(n_ctx=1024)
     params = _cached_params(spec, "q4_k")
     t0 = time.time()
-    eng = Engine(spec, params)
+    eng = Engine(spec, params, kv_dtype=kvd)
     toks = [(7 * i + 3) % spec.n_vocab for i in range(128)]
     eng.eval(toks)
     print(f"# engine+prefill {time.time()-t0:.0f}s "
