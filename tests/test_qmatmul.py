@@ -482,7 +482,9 @@ def test_shipped_tile_cache_parses_and_merges(monkeypatch):
     assert len(shipped) >= 20, "shipped cache unexpectedly small"
     for key, v in shipped.items():
         kp, npad, g, has_m, m, packed, sf, layout = key
-        assert kp > 0 and npad > 0 and g in (16, 32, 256) and m >= 1
+        # groups: 16 (q4_0-family), 32 (q8_0/k-quant sub), 128 (GPTQ4),
+        # 256 (k-quant superblock)
+        assert kp > 0 and npad > 0 and g in (16, 32, 128, 256) and m >= 1
         assert layout in ("adjk", "ksplit")
         assert v == ("xla",) or (
             len(v) == 4 and v[0] > 0 and v[1] > 0 and v[2] >= 1
